@@ -1,0 +1,43 @@
+package graft
+
+import graft.sources.TranscriptGen
+import org.apache.spark.sql.SparkSession
+
+/** Sample entrypoint: run the full ER pipeline (generate → block → score →
+  * cluster → evaluate) on a small deterministic corpus and print what a
+  * library user would check first. `sbt "runMain graft.Demo [nConvs]"`. */
+object Demo {
+  def main(args: Array[String]): Unit = {
+    val nConvs = args.headOption.map(_.toInt).getOrElse(300)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-demo")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val cfg = TranscriptGen.GenConfig(nEntities = 150, nConvs = nConvs)
+    val turns = TranscriptGen.transcripts(spark, cfg).cache()
+    val gold = TranscriptGen.goldMentions(spark, cfg).cache()
+    println(s"turns=${turns.count()} gold_mentions=${gold.count()}")
+
+    val dict = TranscriptGen.dict(cfg)
+    val vecs = TranscriptGen.entityVectors(cfg, graft.operators.MentionDetect.CtxDim)
+    val clusters = Pipeline.run(turns, dict, vecs).cache()
+    println(s"mentions_clustered=${clusters.count()}")
+    println("sample clusters (largest first):")
+    clusters.groupBy("cluster_id").count()
+      .orderBy(org.apache.spark.sql.functions.desc("count"), org.apache.spark.sql.functions.asc("cluster_id"))
+      .show(5, false)
+    clusters.orderBy("cluster_id", "mention_id").show(10, false)
+
+    val f1 = Pipeline.pairwiseF1(clusters, gold, dict)
+    println(f"pairwise: tp=${f1.tp} fp=${f1.fp} fn=${f1.fn} " +
+            f"P=${f1.precision}%.4f R=${f1.recall}%.4f F1=${f1.f1}%.4f")
+    spark.stop()
+  }
+}

@@ -1,0 +1,120 @@
+package graft.functions
+
+import scala.util.hashing.MurmurHash3
+
+/** Deterministic MinHash / SimHash kernels (seeded hash families, no RNG at
+  * call time) used by LSH blocking and near-dup detection.
+  *
+  * Hand-rolled instead of `org.apache.spark.ml.feature.MinHashLSH` so we
+  * (a) avoid the mllib Vector detour for string token sets, (b) control the
+  * band/row layout for LSH banding, (c) stay deterministic across runs and
+  * parallelism levels (SURVEY.md §2.8). Each hash in the family is murmur3
+  * with a distinct seed — independent enough for Jaccard estimation and
+  * fully reproducible.
+  */
+object MinHash {
+
+  /** k-minhash signature of a token set. Element i = unsigned-min over
+    * tokens of murmur3(token, seed=i). Empty set → all Int.MaxValue. */
+  def signature(tokens: Iterable[String], k: Int): Array[Int] = {
+    val sig = Array.fill(k)(Int.MaxValue)
+    val it = tokens.iterator
+    while (it.hasNext) {
+      val t = it.next()
+      var i = 0
+      while (i < k) {
+        val h = MurmurHash3.stringHash(t, i)
+        // unsigned comparison keeps the family uniform over the full range
+        if ((h ^ Int.MinValue) < (sig(i) ^ Int.MinValue)) sig(i) = h
+        i += 1
+      }
+    }
+    sig
+  }
+
+  /** Estimated Jaccard similarity from two signatures. */
+  def estJaccard(a: Array[Int], b: Array[Int]): Double = {
+    require(a.length == b.length)
+    if (a.isEmpty) return 0.0
+    var eq = 0; var i = 0
+    while (i < a.length) { if (a(i) == b(i)) eq += 1; i += 1 }
+    eq.toDouble / a.length
+  }
+
+  /** LSH band keys: signature split into `bands` bands of `rows` values;
+    * key = "b<band>:<hash of band slice>". Two sets share a band key with
+    * probability 1-(1-j^rows)^bands for Jaccard j. */
+  def bandKeys(sig: Array[Int], bands: Int, rows: Int): Array[String] = {
+    require(sig.length >= bands * rows, s"sig too short: ${sig.length} < ${bands * rows}")
+    Array.tabulate(bands) { b =>
+      val h = MurmurHash3.arrayHash(sig.slice(b * rows, (b + 1) * rows), 0x9747b28c + b)
+      s"b$b:${h.toHexString}"
+    }
+  }
+
+  /** Character n-grams ("shingles") of a string — the typo-robust token set
+    * for surface-form LSH blocking. */
+  def charNgrams(s: String, n: Int): Set[String] = {
+    if (s.length < n) Set(s)
+    else (0 to s.length - n).map(i => s.substring(i, i + n)).toSet
+  }
+
+  /** 64-bit stable hash of a string (two murmur32 halves). */
+  def hash64(s: String, seed: Int = 0): Long = {
+    val lo = MurmurHash3.stringHash(s, seed)
+    val hi = MurmurHash3.stringHash(s, seed ^ 0x5bd1e995)
+    (hi.toLong << 32) | (lo.toLong & 0xffffffffL)
+  }
+
+  /** 64-bit SimHash over a token multiset: bit j of the result is the sign
+    * of the sum over tokens of (+1 if bit j of hash64(token) else -1). */
+  def simHash(tokens: Iterable[String]): Long = {
+    val acc = new Array[Int](64)
+    val it = tokens.iterator
+    while (it.hasNext) {
+      val h = hash64(it.next())
+      var j = 0
+      while (j < 64) {
+        if (((h >>> j) & 1L) == 1L) acc(j) += 1 else acc(j) -= 1
+        j += 1
+      }
+    }
+    var out = 0L; var j = 0
+    while (j < 64) { if (acc(j) > 0) out |= (1L << j); j += 1 }
+    out
+  }
+
+  def hammingDistance(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+
+  /** Deterministic unit-ish hash embedding of a token: `dim` values in
+    * [-1, 1] derived from splitmix64 of the token hash. Used as the
+    * context-embedding source where no trained embeddings exist (the
+    * sandbox analogue of REL's GloVe/Wikipedia2Vec store, SURVEY.md D4). */
+  def hashEmbedding(token: String, dim: Int): Array[Float] = {
+    var state = hash64(token, 42)
+    Array.fill(dim) {
+      state += 0x9e3779b97f4a7c15L
+      var z = state
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z = z ^ (z >>> 31)
+      // map to [-1, 1)
+      (z.toDouble / 9.223372036854776e18).toFloat
+    }
+  }
+
+  /** Mean of hash embeddings of a token bag; zero vector for empty input. */
+  def meanEmbedding(tokens: Iterable[String], dim: Int): Array[Float] = {
+    val acc = new Array[Double](dim)
+    var n = 0
+    val it = tokens.iterator
+    while (it.hasNext) {
+      val e = hashEmbedding(it.next(), dim)
+      var i = 0
+      while (i < dim) { acc(i) += e(i); i += 1 }
+      n += 1
+    }
+    if (n == 0) new Array[Float](dim)
+    else { val out = new Array[Float](dim); var i = 0; while (i < dim) { out(i) = (acc(i) / n).toFloat; i += 1 }; out }
+  }
+}

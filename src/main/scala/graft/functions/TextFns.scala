@@ -1,0 +1,85 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Column-level text analytics built from codegen'd built-ins only — no
+  * UDFs in this file, so every function stays inside whole-stage codegen
+  * and Catalyst can prune/push down around it.
+  *
+  * Tokenization matches the DuckDB oracle exactly:
+  * `regexp_extract_all(lower(text), '[a-z0-9]+')`.
+  * Reference analogue: REL `utils.py::split_in_words` (SURVEY.md §2.2 [M]).
+  */
+object TextFns {
+
+  val TokenPattern = "[a-z0-9]+"
+
+  /** Lowercased word tokens as ArrayType(StringType). */
+  def tokens(text: Column): Column =
+    regexp_extract_all(lower(text), lit(TokenPattern), lit(0))
+
+  /** Whitespace token count (cheap, no array materialization). */
+  def wsTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("\\S+"), lit(0)))
+
+  /** BPE-ish token count: runs of letters, runs of digits, and each other
+    * non-space char count as one token (approximates subword tokenizers'
+    * behavior on clean text closely enough for budget estimation). */
+  def bpeishTokenCount(text: Column): Column =
+    size(regexp_extract_all(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
+
+  /** Document fingerprint: md5 of the sorted distinct token set. Two
+    * documents with the same bag-of-words (ignoring order/multiplicity)
+    * collide — the standard cheap near-dup key. */
+  def fingerprint(toks: Column): Column =
+    md5(concat_ws(" ", array_sort(array_distinct(toks))))
+
+  /** Count of tokens that appear in a fixed (small) wordlist. */
+  def wordlistHits(toks: Column, words: Seq[String]): Column = {
+    val set = array(words.map(lit): _*)
+    size(filter(toks, t => array_contains(set, t)))
+  }
+
+  // Tiny per-language marker lists for the n-gram-free language-ID
+  // heuristic. Deliberately small + hardcoded so the DuckDB oracle can
+  // inline the identical lists.
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "is", "to", "in"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "zu", "ein"),
+    "es" -> Seq("el", "la", "de", "y", "es", "en", "un"),
+    "fr" -> Seq("le", "la", "de", "et", "est", "en", "un"),
+  )
+
+  /** Heuristic language ID: language with the most marker-token hits;
+    * ties broken by language code order; no hits → "und" (undetermined). */
+  def langId(toks: Column): Column = {
+    val scored = LangMarkers.map { case (code, words) =>
+      struct(wordlistHits(toks, words).as("hits"), lit(code).as("code"))
+    }
+    val best = array_max(array(scored: _*))
+    when(best.getField("hits") > 0, best.getField("code")).otherwise(lit("und"))
+  }
+
+  val Stopwords: Seq[String] =
+    Seq("the", "a", "of", "and", "is", "to", "in", "that", "it", "for")
+
+  /** Quality-signal struct: token count, char count, mean token length,
+    * stopword ratio, alphanumeric-char ratio. Ratios rounded to 4 decimals
+    * for oracle comparability. */
+  def qualitySignals(text: Column, toks: Column): Column = {
+    val nTok = size(toks)
+    val nChars = length(text)
+    val alnumChars = length(regexp_replace(lower(text), "[^a-z0-9]", ""))
+    struct(
+      nTok.as("n_tokens"),
+      nChars.as("n_chars"),
+      round(when(nTok > 0, alnumChars.cast("double") / nTok).otherwise(0.0), 4)
+        .as("mean_token_len"),
+      round(when(nTok > 0, wordlistHits(toks, Stopwords).cast("double") / nTok)
+        .otherwise(0.0), 4).as("stopword_ratio"),
+      round(when(nChars > 0, alnumChars.cast("double") / nChars).otherwise(0.0), 4)
+        .as("alnum_ratio"),
+    )
+  }
+}

@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Transitive clustering: connected components over the match-edge frame
+  * via alternating large-star / small-star rounds (Kiveris et al.,
+  * "Connected Components in MapReduce and Beyond", SoCC'14) — O(log² n)
+  * rounds, each round two shuffles, pure DataFrame ops (north_rule: typed
+  * Dataset/DataFrame, no RDD/GraphX).
+  *
+  * Node ids are the lexicographically sortable mention ids; the component
+  * id is the minimum member id, so output clusters are deterministic.
+  * `localCheckpoint` every round truncates the join lineage that otherwise
+  * grows linearly with iterations (SURVEY.md §4 "iterative fixpoint").
+  */
+object Clustering {
+
+  /** (src, dst) string edges → (node, cluster_id) for every node that
+    * appears in an edge. Singletons (mentions with no edges) are absent —
+    * callers attach them with a left join + coalesce. */
+  def connectedComponents(edges0: DataFrame, maxIter: Int = 50): DataFrame = {
+    val spark = edges0.sparkSession
+    require(maxIter >= 1)
+
+    // canonical parent-pointer form: dst < src, no self-loops, distinct
+    var edges = edges0
+      .where(col("src") =!= col("dst"))
+      .select(
+        greatest(col("src"), col("dst")).as("src"),
+        least(col("src"), col("dst")).as("dst"))
+      .distinct()
+      .localCheckpoint(true)
+
+    var converged = false
+    var iter = 0
+    var prevSig: (Long, Long) = signature(edges)
+    while (!converged && iter < maxIter) {
+      val next = smallStar(largeStar(edges)).localCheckpoint(true)
+      val sig = signature(next)
+      converged = sig == prevSig
+      prevSig = sig
+      edges.unpersist()
+      edges = next
+      iter += 1
+    }
+
+    // After convergence every edge is (node, root). Roots point to
+    // themselves implicitly; emit them explicitly.
+    val nodes = edges.select(col("src").as("node"), col("dst").as("cluster_id"))
+    val roots = edges.select(col("dst").as("node")).distinct()
+      .join(edges.select(col("src")).distinct(), col("node") === col("src"), "left_anti")
+      .select(col("node"), col("node").as("cluster_id"))
+    nodes.unionByName(roots)
+  }
+
+  /** Large-star: connect every neighbor v > u to min(N(u) ∪ {u}).
+    * Implemented over the symmetrized edge list with a single window
+    * (one shuffle) instead of groupBy+join (two). */
+  private[operators] def largeStar(edges: DataFrame): DataFrame = {
+    val sym = edges.select(col("src"), col("dst"))
+      .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
+    val w = Window.partitionBy("src")
+    sym
+      .withColumn("m", least(min(col("dst")).over(w), col("src")))
+      .where(col("dst") > col("src"))
+      .select(col("dst").as("src"), col("m").as("dst"))
+      .distinct()
+  }
+
+  /** Small-star: for each u with parent pointers dst < u, connect all of
+    * {u} ∪ N_small(u) to the minimum. Input/output in canonical dst<src
+    * form (which largeStar guarantees). */
+  private[operators] def smallStar(edges: DataFrame): DataFrame = {
+    val w = Window.partitionBy("src")
+    val withMin = edges.withColumn("m", min(col("dst")).over(w))
+    // neighbors (except the min itself) re-point to the min…
+    val nbrs = withMin
+      .where(col("dst") =!= col("m"))
+      .select(col("dst").as("src"), col("m").as("dst"))
+    // …and u points to the min.
+    val self = withMin.select(col("src"), col("m").as("dst")).distinct()
+    nbrs.unionAll(self).distinct()
+  }
+
+  /** Cheap change-detection fingerprint: (row count, modular hash sum).
+    * Hashes are reduced mod 1e9+7 before summing so the sum stays well
+    * inside Long under ANSI arithmetic (Spark 4 default) up to ~9e9 rows. */
+  private def signature(edges: DataFrame): (Long, Long) = {
+    val row = edges.agg(
+      count(lit(1)).as("n"),
+      coalesce(sum(pmod(xxhash64(col("src"), col("dst")), lit(1000000007L))), lit(0L)).as("h"))
+      .head()
+    (row.getLong(0), row.getLong(1))
+  }
+}

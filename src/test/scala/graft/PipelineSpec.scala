@@ -1,0 +1,72 @@
+package graft
+
+import graft.sources.TranscriptGen
+import org.apache.spark.sql.functions._
+
+/** Golden end-to-end gate (BASELINE.md row 1): pairwise F1 ≥ 0.99 vs gold
+  * entity clusters on labeled pairs sharing a blocking key, over the
+  * deterministic synthetic transcript corpus (FIXTURES.md B1–B5). */
+class PipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  val cfg = TranscriptGen.GenConfig(nEntities = 200, nConvs = 400)
+  lazy val turns = TranscriptGen.transcripts(spark, cfg).cache()
+  lazy val gold = TranscriptGen.goldMentions(spark, cfg).cache()
+  lazy val dict = TranscriptGen.dict(cfg)
+  lazy val vecs = TranscriptGen.entityVectors(cfg, graft.operators.MentionDetect.CtxDim)
+  lazy val clusters = Pipeline.run(turns, dict, vecs).cache()
+
+  test("mention detection finds exactly the gold mentions") {
+    val ms = Pipeline.mentions(turns,
+      spark.sparkContext.broadcast(dict), spark.sparkContext.broadcast(vecs))
+    val got = ms.select("conv_id", "turn_idx", "begin", "end", "surface")
+      .as[(String, Int, Int, Int, String)].collect().toSet
+    val want = gold.collect()
+      .map(g => (g.conv_id, g.turn_idx, g.begin, g.end, g.surface)).toSet
+    val missed = want -- got
+    val spurious = got -- want
+    assert(missed.isEmpty, s"missed ${missed.size}: ${missed.take(5)}")
+    assert(spurious.isEmpty, s"spurious ${spurious.size}: ${spurious.take(5)}")
+  }
+
+  test("pairwise F1 >= 0.99 on labeled pairs sharing a blocking key") {
+    val f1 = Pipeline.pairwiseF1(clusters, gold, dict)
+    info(s"tp=${f1.tp} fp=${f1.fp} fn=${f1.fn} " +
+         f"P=${f1.precision}%.4f R=${f1.recall}%.4f F1=${f1.f1}%.4f")
+    assert(f1.f1 >= 0.99, s"pairwise F1 ${f1.f1} below 0.99 " +
+      s"(tp=${f1.tp} fp=${f1.fp} fn=${f1.fn})")
+  }
+
+  test("per-turn text invariant: pipeline never mutates/reorders/drops turns") {
+    // the pipeline consumes `turns` and emits side tables only; assert the
+    // input is still byte-identical under stable (conv_id, turn_idx) order
+    val before = turns.orderBy("conv_id", "turn_idx")
+      .select(hash(col("conv_id"), col("turn_idx"), col("text"))).as[Int].collect()
+    clusters.count() // run the full pipeline
+    val after = turns.orderBy("conv_id", "turn_idx")
+      .select(hash(col("conv_id"), col("turn_idx"), col("text"))).as[Int].collect()
+    assert(before.sameElements(after))
+    // and each (conv_id, turn_idx) is unique + contiguous from 0
+    val bad = turns.groupBy("conv_id")
+      .agg(count(lit(1)).as("n"), min("turn_idx").as("lo"), max("turn_idx").as("hi"),
+           countDistinct("turn_idx").as("d"))
+      .where(col("lo") =!= 0 || col("hi") =!= col("n") - 1 || col("d") =!= col("n"))
+    assert(bad.count() == 0)
+  }
+
+  test("clustering output is deterministic across runs and parallelism") {
+    val again = Pipeline.run(turns.repartition(13), dict, vecs)
+    val a = clusters.select("mention_id", "cluster_id").as[(String, String)].collect().toSet
+    val b = again.select("mention_id", "cluster_id").as[(String, String)].collect().toSet
+    assert(a == b)
+  }
+
+  test("every gold mention lands in a cluster; ids are min-member") {
+    val n = clusters.count()
+    assert(n == gold.count())
+    val bad = clusters.groupBy("cluster_id")
+      .agg(min("mention_id").as("m"))
+      .where(col("cluster_id") =!= col("m"))
+    assert(bad.count() == 0)
+  }
+}
