@@ -1,0 +1,123 @@
+package graft
+
+import graft.functions.TextFns
+import graft.model._
+import graft.operators._
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Shared building blocks for SparkEntry.queries and their DuckDB oracles.
+  *
+  * Conventions that keep the driver's hash-compare deterministic:
+  *  - every integer output is cast to BIGINT (DuckDB counts are BIGINT);
+  *  - every double is `round(x, n)` with the same n in both engines, and
+  *    rounding happens BEFORE any rank/filter that depends on the value;
+  *  - every query has a total ORDER BY;
+  *  - tokenization is regexp_extract_all(lower(text), '[a-z0-9]+') in both.
+  */
+object QueryLib {
+
+  /** The fixed bigram surface-form dictionary for the documents-derived ER
+    * oracle queries. Bigrams over the corpus vocabulary; each maps to its
+    * own entity with prior 1.0. Bigram-only so the greedy longest-match
+    * semantics reduce to parity selection over consecutive-position runs —
+    * which is SQL-expressible (see mentionsSql). */
+  val DictBigrams: Seq[String] = Seq(
+    "table hash", "part filter", "customer join", "slow key",
+    "merge group", "vector small", "big order", "filter small",
+    "hash join", "key order", "spark query", "data stream")
+
+  def bigramDict: Map[String, DictEntry] =
+    DictBigrams.map { bg =>
+      bg -> DictEntry(bg, bg, 100, Array(Candidate("e_" + bg.replace(' ', '_'), 1.0)))
+    }.toMap
+
+  def docs(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"$sfDir/documents.parquet")
+
+  def events(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"$sfDir/events.parquet")
+
+  def embeddings(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"$sfDir/embeddings.parquet")
+
+  /** Documents → transcript table (FIXTURES.md B1 shape): conversation =
+    * source, stable turn order = doc_id order within source. */
+  def transcripts(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("source").orderBy("doc_id")
+    docs(spark, sfDir)
+      .withColumn("turn_idx", (row_number().over(w) - 1).cast("int"))
+      .select(col("doc_id"), col("source").as("conv_id"), col("turn_idx"),
+        when(pmod(col("turn_idx"), lit(3)) === 0, "user")
+          .when(pmod(col("turn_idx"), lit(3)) === 1, "assistant")
+          .otherwise("tool").as("role"),
+        col("text"))
+  }
+
+  /** Same thing in DuckDB SQL (shared CTE body). */
+  val transcriptsSql: String =
+    """tr AS (
+      |  SELECT doc_id, source AS conv_id,
+      |         CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id) - 1 AS BIGINT) AS turn_idx,
+      |         CASE CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id) - 1 AS BIGINT) % 3
+      |           WHEN 0 THEN 'user' WHEN 1 THEN 'assistant' ELSE 'tool' END AS role,
+      |         text
+      |  FROM documents)""".stripMargin
+
+  /** Transcripts as the typed pipeline input. */
+  def turnsDs(spark: SparkSession, sfDir: String): Dataset[Turn] = {
+    import spark.implicits._
+    transcripts(spark, sfDir)
+      .select(col("conv_id"), col("turn_idx"), col("role"), col("text"),
+              lit(null).cast("string").as("tool"),
+              lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00")).as("ts"))
+      .as[Turn]
+  }
+
+  /** Detected mentions of the bigram dictionary over the transcripts —
+    * the real pipeline operator (greedy longest-match detector). */
+  def mentions(spark: SparkSession, sfDir: String): Dataset[Mention] = {
+    val dictBc = spark.sparkContext.broadcast(bigramDict)
+    val vecsBc = spark.sparkContext.broadcast(Map.empty[String, Array[Float]])
+    Pipeline.mentions(turnsDs(spark, sfDir), dictBc, vecsBc)
+  }
+
+  private def sqlList(xs: Seq[String]): String =
+    xs.map(x => s"'$x'").mkString("(", ", ", ")")
+
+  /** DuckDB CTE chain producing the same mention set: bigram candidates at
+    * token positions, greedy non-overlap via parity within runs of
+    * consecutive candidate positions (equivalent to left-to-right greedy
+    * for span-2 intervals). `begin` is the 0-based token offset. */
+  val mentionsSql: String =
+    s"""$transcriptsSql,
+       |tok AS (
+       |  SELECT conv_id, turn_idx,
+       |         unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok,
+       |         generate_subscripts(regexp_extract_all(lower(text), '[a-z0-9]+'), 1) AS pos
+       |  FROM tr),
+       |cand AS (
+       |  SELECT a.conv_id, a.turn_idx, a.pos AS p, a.tok || ' ' || b.tok AS bg
+       |  FROM tok a JOIN tok b
+       |    ON a.conv_id = b.conv_id AND a.turn_idx = b.turn_idx AND b.pos = a.pos + 1
+       |  WHERE a.tok || ' ' || b.tok IN ${sqlList(DictBigrams)}),
+       |runs AS (
+       |  SELECT *, p - row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY p) AS rid
+       |  FROM cand),
+       |mentions AS (
+       |  SELECT conv_id, turn_idx, CAST(p - 1 AS BIGINT) AS bpos, bg
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx, rid ORDER BY p) - 1 AS off
+       |        FROM runs)
+       |  WHERE off % 2 = 0)""".stripMargin
+
+  val TokCte: String =
+    """tk AS (
+      |  SELECT doc_id, source, lang, text,
+      |         regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+      |  FROM documents)""".stripMargin
+
+  /** Spark-side tokens column for documents. */
+  def docsWithTokens(spark: SparkSession, sfDir: String): DataFrame =
+    docs(spark, sfDir).withColumn("toks", TextFns.tokens(col("text")))
+}

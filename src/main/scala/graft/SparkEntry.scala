@@ -1,13 +1,559 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.QueryLib._
+import graft.functions.TextFns
+import graft.model._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.GraftFunctions
+
+/** Driver contract — one `queries` entry per implemented operator
+  * (SURVEY.md §2), each with a DuckDB oracle where SQL-expressible.
+  * Conventions: BIGINT ints, round(x,n) doubles (same n both engines,
+  * applied before any dependent rank/filter), total ORDER BY everywhere.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship: full ER pipeline (detect → block → score → cluster) over
+    * sf0.001 transcripts derived from `documents`. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q13_er_clusters")(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- generic relational operators (scan, agg, join, window) ----
+
+    "q01_lineitem_agg" -> ((s, dir) => {
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(col("l_quantity").cast("decimal(18,4)")).cast("double").as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,4)")).cast("double").as("sum_price"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    "q02_orders_by_segment" -> ((s, dir) => {
+      val orders = s.read.parquet(s"$dir/orders.parquet")
+      val cust = s.read.parquet(s"$dir/customer.parquet")
+      orders.join(broadcast(cust), orders("o_custkey") === cust("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"),
+             sum(col("o_totalprice").cast("decimal(18,4)")).cast("double").as("total"))
+        .orderBy("c_mktsegment")
+    }),
+
+    "q03_top_events" -> ((s, dir) => {
+      val w = Window.partitionBy("event_type")
+        .orderBy(desc("value_r"), asc("event_id"))
+      events(s, dir)
+        .withColumn("value_r", round(col("value"), 6))
+        .withColumn("rank", row_number().over(w).cast("bigint"))
+        .where(col("rank") <= 3)
+        .select("event_type", "rank", "event_id", "value_r")
+        .orderBy("event_type", "rank")
+    }),
+
+    "q04_sessionize_events" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val epoch = col("ts").cast("timestamp").cast("long")
+      events(s, dir)
+        .withColumn("gap", epoch - lag(epoch, 1).over(w))
+        .withColumn("new_session", when(col("gap").isNull || col("gap") > 3600, 1L).otherwise(0L))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"), sum("new_session").as("n_sessions"))
+        .orderBy("user_id")
+    }),
+
+    // ---- transcript derivation + invariants ----
+
+    "q05_transcripts" -> ((s, dir) =>
+      transcripts(s, dir).orderBy("conv_id", "turn_idx")
+        .select(col("doc_id"), col("conv_id"), col("turn_idx").cast("bigint"),
+                col("role"), col("text"))),
+
+    "q06_turn_invariant" -> ((s, dir) => {
+      val tr = transcripts(s, dir)
+      val d = docs(s, dir).select(col("doc_id"), col("text").as("orig_text"))
+      tr.join(d, "doc_id")
+        .agg(
+          count(lit(1)).as("n_turns"),
+          countDistinct("conv_id").as("n_convs"),
+          (count(lit(1)) - countDistinct(concat_ws(":", col("conv_id"), col("turn_idx"))))
+            .as("n_key_dupes"),
+          sum(when(col("text") =!= col("orig_text"), 1L).otherwise(0L)).as("n_mutated"))
+    }),
+
+    // ---- tokenization / n-grams / string similarity ----
+
+    "q07_tokenize" -> ((s, dir) =>
+      docsWithTokens(s, dir)
+        .select(col("doc_id"),
+                size(col("toks")).cast("bigint").as("n_tokens"),
+                size(array_distinct(col("toks"))).cast("bigint").as("n_distinct"))
+        .orderBy("doc_id")),
+
+    "q08_token_freq" -> ((s, dir) =>
+      docsWithTokens(s, dir)
+        .select(explode(col("toks")).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("cnt"))
+        .orderBy(desc("cnt"), asc("tok"))),
+
+    "q09_bigram_freq" -> ((s, dir) =>
+      docsWithTokens(s, dir)
+        .withColumn("bigrams",
+          when(size(col("toks")) >= 2,
+            expr("transform(sequence(0, size(toks)-2), i -> concat(toks[i], ' ', toks[i+1]))"))
+          .otherwise(array()))
+        .select(explode(col("bigrams")).as("bg"))
+        .groupBy("bg").agg(count(lit(1)).as("cnt"))
+        .orderBy(desc("cnt"), asc("bg"))
+        .limit(20)),
+
+    "q10_levenshtein" -> ((s, dir) => {
+      val toks = docsWithTokens(s, dir)
+        .select(explode(col("toks")).as("tok")).distinct()
+      toks.as("A").crossJoin(toks.as("B"))
+        .where(col("A.tok") < col("B.tok"))
+        .select(col("A.tok").as("a"), col("B.tok").as("b"),
+                levenshtein(col("A.tok"), col("B.tok")).cast("bigint").as("dist"))
+        .orderBy("a", "b")
+    }),
+
+    "q11_jaro_winkler" -> ((s, dir) => {
+      val toks = docsWithTokens(s, dir)
+        .select(explode(col("toks")).as("tok")).distinct()
+      toks.as("A").crossJoin(toks.as("B"))
+        .where(col("A.tok") < col("B.tok"))
+        .select(col("A.tok").as("a"), col("B.tok").as("b"),
+                round(GraftFunctions.jaroWinkler(col("A.tok"), col("B.tok")), 4).as("jw"))
+        .orderBy("a", "b")
+    }),
+
+    // ---- ER core over derived transcripts (the reference pipeline) ----
+
+    "q12_mentions" -> ((s, dir) =>
+      mentions(s, dir).toDF()
+        .select(col("conv_id"), col("turn_idx").cast("bigint"),
+                col("begin").cast("bigint").as("bpos"), col("norm").as("bg"))
+        .orderBy("conv_id", "turn_idx", "bpos")),
+
+    "q13_er_clusters" -> ((s, dir) => {
+      val ms = mentions(s, dir)
+      Pipeline.cluster(ms)
+        .select(col("mention_id"), col("cluster_id"), col("norm").as("bg"))
+        .orderBy("mention_id")
+    }),
+
+    "q14_cluster_sizes" -> ((s, dir) => {
+      val ms = mentions(s, dir)
+      Pipeline.cluster(ms)
+        .groupBy("cluster_id").agg(count(lit(1)).as("size"))
+        .orderBy(desc("size"), asc("cluster_id"))
+    }),
+
+    "q15_block_histogram" -> ((s, dir) =>
+      mentions(s, dir).toDF()
+        .groupBy(col("norm").as("bg"))
+        .agg(count(lit(1)).as("n_mentions"),
+             (count(lit(1)) * (count(lit(1)) - 1) / 2).as("n_pairs"))
+        .orderBy("bg")),
+
+    // ---- doc-similarity edges + connected components ----
+
+    "q16_doc_edges" -> ((s, dir) => docEdges(s, dir)
+        .select(col("src").cast("bigint"), col("dst").cast("bigint"), col("jac"))
+        .orderBy("src", "dst")),
+
+    "q17_doc_components" -> ((s, dir) => {
+      val es = docEdges(s, dir)
+        .select(format_string("%06d", col("src")).as("src"),
+                format_string("%06d", col("dst")).as("dst"))
+      operators.Clustering.connectedComponents(es)
+        .select(col("node"), col("cluster_id"))
+        .orderBy("node")
+    }),
+
+    // ---- dedup family ----
+
+    "q18_dedup_exact" -> ((s, dir) => {
+      val d = operators.Dedup.exact(docs(s, dir), "doc_id", "text")
+      d.agg(count(lit(1)).as("n_docs"),
+            countDistinct("rep_id").as("n_groups"),
+            (count(lit(1)) - countDistinct("rep_id")).as("n_extra"))
+    }),
+
+    "q19_fingerprint" -> ((s, dir) =>
+      docsWithTokens(s, dir)
+        .withColumn("fp", TextFns.fingerprint(col("toks")))
+        .agg(count(lit(1)).as("n_docs"),
+             countDistinct("fp").as("n_fps"),
+             (count(lit(1)) - countDistinct("fp")).as("n_bag_dupes"))),
+
+    "q20_minhash_neardup" -> ((s, dir) =>
+      operators.Dedup.minhashPairs(docs(s, dir), "doc_id", "text", threshold = 0.6)
+        .orderBy("a_id", "b_id")),
+
+    "q21_simhash_neardup" -> ((s, dir) =>
+      operators.Dedup.simhashPairs(docs(s, dir), "doc_id", "text", maxHamming = 3)
+        .select(col("a_id"), col("b_id"), col("hamming").cast("bigint"))
+        .orderBy("a_id", "b_id")),
+
+    // ---- text analytics ----
+
+    "q22_quality" -> ((s, dir) =>
+      docsWithTokens(s, dir)
+        .withColumn("q", TextFns.qualitySignals(col("text"), col("toks")))
+        .select(col("doc_id"),
+                col("q.n_tokens").cast("bigint").as("n_tokens"),
+                col("q.n_chars").cast("bigint").as("n_chars"),
+                col("q.mean_token_len").as("mean_token_len"),
+                col("q.stopword_ratio").as("stopword_ratio"),
+                col("q.alnum_ratio").as("alnum_ratio"))
+        .orderBy("doc_id")),
+
+    "q23_langid" -> ((s, dir) =>
+      docsWithTokens(s, dir)
+        .withColumn("pred", TextFns.langId(col("toks")))
+        .groupBy("pred").agg(count(lit(1)).as("n"))
+        .orderBy("pred")),
+
+    "q24_token_count" -> ((s, dir) =>
+      docs(s, dir)
+        .groupBy("source")
+        .agg(sum(TextFns.bpeishTokenCount(col("text")).cast("bigint")).as("bpeish_tokens"),
+             sum(TextFns.wsTokenCount(col("text")).cast("bigint")).as("ws_tokens"))
+        .orderBy("source")),
+
+    // ---- embeddings: cosine, ANN, near-dup ----
+
+    "q25_embed_cosine" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+      val a = e.select(col("vec_id").as("a_id"), col("embedding").as("va"))
+      val b = e.select((col("vec_id") - 1).as("a_id"), col("vec_id").as("b_id"),
+                       col("embedding").as("vb"))
+      a.join(b, "a_id")
+        .select(col("a_id"), col("b_id"),
+                round(GraftFunctions.cosineSim(col("va"), col("vb")), 5).as("cos"))
+        .orderBy("a_id")
+    }),
+
+    "q26_ann_topk" -> ((s, dir) => {
+      val corpus = embeddings(s, dir)
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val qs = corpus.where(col("id") < 10)
+      operators.Ann.bruteForceTopK(corpus, qs, 5)
+        .orderBy("q_id", "rank")
+    }),
+
+    "q27_embed_neardup" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+      val a = e.select(col("vec_id").as("a_id"), col("label").as("la"), col("embedding").as("va"))
+      val b = e.select(col("vec_id").as("b_id"), col("label").as("lb"), col("embedding").as("vb"))
+      a.join(b, col("la") === col("lb") &&
+               col("b_id") > col("a_id") && col("b_id") <= col("a_id") + 50)
+        .withColumn("cos", round(GraftFunctions.cosineSim(col("va"), col("vb")), 5))
+        .where(col("cos") >= 0.3)
+        .select(col("la").cast("bigint").as("label"), col("a_id"), col("b_id"), col("cos"))
+        .orderBy("a_id", "b_id")
+    }),
+
+    // ---- prior-dictionary ETL (REL wikipedia_yago_freq analogue) ----
+
+    "q28_prior_etl" -> ((s, dir) => {
+      val anchors = docsWithTokens(s, dir)
+        .withColumn("pairs",
+          when(size(col("toks")) >= 2,
+            expr("transform(sequence(0, size(toks)-2), i -> struct(toks[i] as mention, toks[i+1] as entity))"))
+          .otherwise(array()))
+        .select(explode(col("pairs")).as("p"))
+        .select(col("p.mention"), col("p.entity"))
+      val counted = anchors.groupBy("mention", "entity").agg(count(lit(1)).as("cnt"))
+      val withP = counted
+        .withColumn("total", sum("cnt").over(Window.partitionBy("mention")))
+        .withColumn("p", round(col("cnt").cast("double") / col("total"), 6))
+      val w = Window.partitionBy("mention").orderBy(desc("p"), asc("entity"))
+      withP.withColumn("rank", row_number().over(w).cast("bigint"))
+        .where(col("rank") <= 3)
+        .select("mention", "entity", "p", "rank")
+        .orderBy("mention", "rank")
+    }),
+  )
+
+  /** Doc-similarity edges: same conversation (source), turn distance ≤ 3,
+    * distinct-token jaccard ≥ 0.75. */
+  private def docEdges(s: SparkSession, dir: String): DataFrame = {
+    val d = transcripts(s, dir)
+      .withColumn("ts2", array_distinct(TextFns.tokens(col("text"))))
+      .select(col("doc_id"), col("conv_id"), col("turn_idx"), col("ts2"))
+    d.as("A").join(d.as("B"),
+        col("A.conv_id") === col("B.conv_id") &&
+        col("B.turn_idx") > col("A.turn_idx") &&
+        col("B.turn_idx") <= col("A.turn_idx") + 3)
+      .withColumn("inter", size(array_intersect(col("A.ts2"), col("B.ts2"))).cast("double"))
+      .withColumn("uni",
+        (size(col("A.ts2")) + size(col("B.ts2"))).cast("double") - col("inter"))
+      .withColumn("jac", round(when(col("uni") > 0, col("inter") / col("uni")).otherwise(0.0), 4))
+      .where(col("jac") >= 0.75)
+      .select(col("A.doc_id").as("src"), col("B.doc_id").as("dst"), col("jac"))
+  }
+
+  // ------------------------------------------------------------------
+  //  DuckDB oracles (driver-run at sf0.01). Non-SQL-expressible ops
+  //  (q20 minhash banding internals are oracled via the exact-jaccard
+  //  reformulation; q21 simhash has no oracle) are omitted.
+  // ------------------------------------------------------------------
+
+  def oracleSql: Map[String, String] = Map(
+
+    "q01_lineitem_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q02_orders_by_segment" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q03_top_events" ->
+      """SELECT event_type, rank, event_id, value_r FROM (
+        |  SELECT event_type, event_id, round(value, 6) AS value_r,
+        |         CAST(row_number() OVER (PARTITION BY event_type
+        |             ORDER BY round(value, 6) DESC, event_id) AS BIGINT) AS rank
+        |  FROM events)
+        |WHERE rank <= 3 ORDER BY event_type, rank""".stripMargin,
+
+    "q04_sessionize_events" ->
+      """SELECT user_id, count(*) AS n_events,
+        |  sum(CASE WHEN gap IS NULL OR gap > 3600 THEN 1 ELSE 0 END) AS n_sessions
+        |FROM (
+        |  SELECT user_id,
+        |         epoch(ts) - lag(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+        |  FROM events)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q05_transcripts" ->
+      s"""WITH $transcriptsSql
+         |SELECT doc_id, conv_id, turn_idx, role, text FROM tr
+         |ORDER BY conv_id, turn_idx""".stripMargin,
+
+    "q06_turn_invariant" ->
+      s"""WITH $transcriptsSql
+         |SELECT count(*) AS n_turns,
+         |  count(DISTINCT conv_id) AS n_convs,
+         |  count(*) - count(DISTINCT conv_id || ':' || turn_idx) AS n_key_dupes,
+         |  sum(CASE WHEN tr.text <> d.text THEN 1 ELSE 0 END) AS n_mutated
+         |FROM tr JOIN documents d USING (doc_id)""".stripMargin,
+
+    "q07_tokenize" ->
+      s"""WITH ${QueryLib.TokCte}
+         |SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+         |       CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct
+         |FROM tk ORDER BY doc_id""".stripMargin,
+
+    "q08_token_freq" ->
+      """SELECT tok, count(*) AS cnt FROM (
+        |  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+        |  FROM documents)
+        |GROUP BY 1 ORDER BY cnt DESC, tok""".stripMargin,
+
+    "q09_bigram_freq" ->
+      """SELECT a.tok || ' ' || b.tok AS bg, count(*) AS cnt
+        |FROM (SELECT doc_id, unnest(regexp_extract_all(lower(text),'[a-z0-9]+')) AS tok,
+        |             generate_subscripts(regexp_extract_all(lower(text),'[a-z0-9]+'),1) AS pos
+        |      FROM documents) a
+        |JOIN (SELECT doc_id, unnest(regexp_extract_all(lower(text),'[a-z0-9]+')) AS tok,
+        |             generate_subscripts(regexp_extract_all(lower(text),'[a-z0-9]+'),1) AS pos
+        |      FROM documents) b
+        |  ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        |GROUP BY 1 ORDER BY cnt DESC, bg LIMIT 20""".stripMargin,
+
+    "q10_levenshtein" ->
+      """WITH toks AS (
+        |  SELECT DISTINCT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+        |  FROM documents)
+        |SELECT a.tok AS a, b.tok AS b, CAST(levenshtein(a.tok, b.tok) AS BIGINT) AS dist
+        |FROM toks a, toks b WHERE a.tok < b.tok ORDER BY a, b""".stripMargin,
+
+    "q11_jaro_winkler" ->
+      """WITH toks AS (
+        |  SELECT DISTINCT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+        |  FROM documents)
+        |SELECT a.tok AS a, b.tok AS b, round(jaro_winkler_similarity(a.tok, b.tok), 4) AS jw
+        |FROM toks a, toks b WHERE a.tok < b.tok ORDER BY a, b""".stripMargin,
+
+    "q12_mentions" ->
+      s"""WITH ${QueryLib.mentionsSql}
+         |SELECT conv_id, turn_idx, bpos, bg FROM mentions
+         |ORDER BY conv_id, turn_idx, bpos""".stripMargin,
+
+    "q13_er_clusters" ->
+      s"""WITH ${QueryLib.mentionsSql}
+         |SELECT printf('%s:%06d:%06d', conv_id, turn_idx, bpos) AS mention_id,
+         |       min(printf('%s:%06d:%06d', conv_id, turn_idx, bpos)) OVER (PARTITION BY bg) AS cluster_id,
+         |       bg
+         |FROM mentions ORDER BY mention_id""".stripMargin,
+
+    "q14_cluster_sizes" ->
+      s"""WITH ${QueryLib.mentionsSql}
+         |SELECT min(printf('%s:%06d:%06d', conv_id, turn_idx, bpos)) AS cluster_id,
+         |       count(*) AS size
+         |FROM mentions GROUP BY bg ORDER BY size DESC, cluster_id""".stripMargin,
+
+    "q15_block_histogram" ->
+      s"""WITH ${QueryLib.mentionsSql}
+         |SELECT bg, count(*) AS n_mentions,
+         |       count(*) * (count(*) - 1) / 2 AS n_pairs
+         |FROM mentions GROUP BY bg ORDER BY bg""".stripMargin,
+
+    "q16_doc_edges" ->
+      s"""WITH $transcriptsSql,
+         |d AS (SELECT doc_id, conv_id, turn_idx,
+         |             list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+')) AS ts
+         |      FROM tr)
+         |SELECT a.doc_id AS src, b.doc_id AS dst,
+         |       round(len(list_intersect(a.ts, b.ts)) * 1.0 /
+         |             (len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts))), 4) AS jac
+         |FROM d a JOIN d b ON a.conv_id = b.conv_id
+         |  AND b.turn_idx > a.turn_idx AND b.turn_idx <= a.turn_idx + 3
+         |WHERE round(len(list_intersect(a.ts, b.ts)) * 1.0 /
+         |            (len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts))), 4) >= 0.75
+         |ORDER BY src, dst""".stripMargin,
+
+    "q17_doc_components" ->
+      s"""WITH RECURSIVE $transcriptsSql,
+         |d AS (SELECT doc_id, conv_id, turn_idx,
+         |             list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+')) AS ts
+         |      FROM tr),
+         |e0 AS (
+         |  SELECT printf('%06d', a.doc_id) AS src, printf('%06d', b.doc_id) AS dst
+         |  FROM d a JOIN d b ON a.conv_id = b.conv_id
+         |    AND b.turn_idx > a.turn_idx AND b.turn_idx <= a.turn_idx + 3
+         |  WHERE round(len(list_intersect(a.ts, b.ts)) * 1.0 /
+         |              (len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts))), 4) >= 0.75),
+         |e AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+         |n AS (SELECT DISTINCT src AS node FROM e),
+         |r AS (
+         |  SELECT node, node AS reach FROM n
+         |  UNION
+         |  SELECT e.dst AS node, r.reach FROM r JOIN e ON e.src = r.node)
+         |SELECT node, min(reach) AS cluster_id FROM r GROUP BY node ORDER BY node""".stripMargin,
+
+    "q18_dedup_exact" ->
+      """SELECT count(*) AS n_docs, count(DISTINCT md5(text)) AS n_groups,
+        |       count(*) - count(DISTINCT md5(text)) AS n_extra
+        |FROM documents""".stripMargin,
+
+    "q19_fingerprint" ->
+      s"""WITH ${QueryLib.TokCte}
+         |SELECT count(*) AS n_docs,
+         |       count(DISTINCT md5(array_to_string(list_sort(list_distinct(toks)), ' '))) AS n_fps,
+         |       count(*) - count(DISTINCT md5(array_to_string(list_sort(list_distinct(toks)), ' '))) AS n_bag_dupes
+         |FROM tk""".stripMargin,
+
+    "q20_minhash_neardup" ->
+      """WITH t AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(lower(text),'[a-z0-9]+')) AS tok,
+        |         generate_subscripts(regexp_extract_all(lower(text),'[a-z0-9]+'),1) AS pos
+        |  FROM documents),
+        |sh AS (
+        |  SELECT a.doc_id, list_distinct(list(a.tok || ' ' || b.tok || ' ' || c.tok)) AS s
+        |  FROM t a JOIN t b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        |           JOIN t c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+        |  GROUP BY a.doc_id)
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |       round(len(list_intersect(a.s, b.s)) * 1.0 /
+        |             (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 4) AS jaccard
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |WHERE round(len(list_intersect(a.s, b.s)) * 1.0 /
+        |            (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 4) >= 0.6
+        |ORDER BY a_id, b_id""".stripMargin,
+
+    "q22_quality" ->
+      s"""WITH ${QueryLib.TokCte},
+         |q AS (
+         |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+         |         CAST(length(text) AS BIGINT) AS n_chars,
+         |         CAST(length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS BIGINT) AS alnum,
+         |         CAST(len(list_filter(toks, x -> list_contains(['the','a','of','and','is','to','in','that','it','for'], x))) AS BIGINT) AS stop
+         |  FROM tk)
+         |SELECT doc_id, n_tokens, n_chars,
+         |  round(CASE WHEN n_tokens > 0 THEN alnum * 1.0 / n_tokens ELSE 0.0 END, 4) AS mean_token_len,
+         |  round(CASE WHEN n_tokens > 0 THEN stop * 1.0 / n_tokens ELSE 0.0 END, 4) AS stopword_ratio,
+         |  round(CASE WHEN n_chars > 0 THEN alnum * 1.0 / n_chars ELSE 0.0 END, 4) AS alnum_ratio
+         |FROM q ORDER BY doc_id""".stripMargin,
+
+    "q23_langid" ->
+      s"""WITH ${QueryLib.TokCte},
+         |h AS (
+         |  SELECT doc_id,
+         |    CAST(len(list_filter(toks, x -> list_contains(['the','a','of','and','is','to','in'], x))) AS BIGINT) AS en,
+         |    CAST(len(list_filter(toks, x -> list_contains(['der','die','das','und','ist','zu','ein'], x))) AS BIGINT) AS de,
+         |    CAST(len(list_filter(toks, x -> list_contains(['el','la','de','y','es','en','un'], x))) AS BIGINT) AS es,
+         |    CAST(len(list_filter(toks, x -> list_contains(['le','la','de','et','est','en','un'], x))) AS BIGINT) AS fr
+         |  FROM tk)
+         |SELECT pred, count(*) AS n FROM (
+         |  SELECT CASE
+         |    WHEN greatest(en, de, es, fr) = 0 THEN 'und'
+         |    WHEN fr = greatest(en, de, es, fr) THEN 'fr'
+         |    WHEN es = greatest(en, de, es, fr) THEN 'es'
+         |    WHEN en = greatest(en, de, es, fr) THEN 'en'
+         |    ELSE 'de' END AS pred
+         |  FROM h)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q24_token_count" ->
+      """SELECT source,
+        |  sum(CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT)) AS bpeish_tokens,
+        |  sum(CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT)) AS ws_tokens
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q25_embed_cosine" ->
+      """SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        |  round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 5) AS cos
+        |FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+        |ORDER BY a_id""".stripMargin,
+
+    "q26_ann_topk" ->
+      """SELECT q_id, rank, id, cos FROM (
+        |  SELECT q.vec_id AS q_id, c.vec_id AS id,
+        |    round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])), 5) AS cos,
+        |    CAST(row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])), 5) DESC,
+        |               c.vec_id) AS BIGINT) AS rank
+        |  FROM embeddings q JOIN embeddings c ON q.vec_id < 10 AND c.vec_id <> q.vec_id)
+        |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+
+    "q27_embed_neardup" ->
+      """SELECT CAST(a.label AS BIGINT) AS label, a.vec_id AS a_id, b.vec_id AS b_id,
+        |  round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 5) AS cos
+        |FROM embeddings a JOIN embeddings b
+        |  ON a.label = b.label AND b.vec_id > a.vec_id AND b.vec_id <= a.vec_id + 50
+        |WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 5) >= 0.3
+        |ORDER BY a_id, b_id""".stripMargin,
+
+    "q28_prior_etl" ->
+      """WITH t AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(lower(text),'[a-z0-9]+')) AS tok,
+        |         generate_subscripts(regexp_extract_all(lower(text),'[a-z0-9]+'),1) AS pos
+        |  FROM documents),
+        |anchors AS (
+        |  SELECT a.tok AS mention, b.tok AS entity, count(*) AS cnt
+        |  FROM t a JOIN t b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        |  GROUP BY 1, 2),
+        |withp AS (
+        |  SELECT mention, entity,
+        |         round(cnt * 1.0 / sum(cnt) OVER (PARTITION BY mention), 6) AS p
+        |  FROM anchors)
+        |SELECT mention, entity, p, rank FROM (
+        |  SELECT mention, entity, p,
+        |         CAST(row_number() OVER (PARTITION BY mention ORDER BY p DESC, entity) AS BIGINT) AS rank
+        |  FROM withp)
+        |WHERE rank <= 3 ORDER BY mention, rank""".stripMargin,
+  )
 }
