@@ -1,24 +1,78 @@
 package graft
+
+import graft.model.Turn
+import graft.sources.TranscriptGen
 import org.apache.spark.sql.SparkSession
+
+/** Driver-run benchmark: times every SparkEntry query on
+  * SPARK_GRAFT_SF_DIR, plus the end-to-end ER pipeline over a deterministic
+  * synthetic transcript corpus (generated once, cached as parquet,
+  * generation excluded from timing). Prints ONE JSON line. */
 object Bench {
+
+  def benchSession(cpus: String): SparkSession = {
+    val s = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  /** Materialize the bench transcript corpus (idempotent). Returns path. */
+  def ensureCorpus(spark: SparkSession, cfg: TranscriptGen.GenConfig): String = {
+    val path = s"target/bench/transcripts_${cfg.nConvs}_${cfg.nEntities}"
+    if (!new java.io.File(s"$path/_SUCCESS").exists()) {
+      TranscriptGen.transcripts(spark, cfg)
+        .write.mode("overwrite").parquet(path)
+    }
+    path
+  }
+
+  /** One timed end-to-end pipeline run; returns (seconds, turns, clusters). */
+  def runPipeline(spark: SparkSession, path: String,
+                  cfg: TranscriptGen.GenConfig): (Double, Long, Long) = {
+    import spark.implicits._
+    val dict = TranscriptGen.dict(cfg)
+    val vecs = TranscriptGen.entityVectors(cfg, operators.MentionDetect.CtxDim)
+    val turns = spark.read.parquet(path).as[Turn]
+    val nTurns = turns.count()
+    val t0 = System.nanoTime()
+    val clusters = Pipeline.run(turns, dict, vecs)
+    val n = clusters.count()
+    ((System.nanoTime() - t0) / 1e9, nTurns, n)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val spark = benchSession(cpus)
+
+    val results = scala.collection.mutable.LinkedHashMap[String, Double]()
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try { fn(spark, sfDir).count() } catch { case _: Throwable => }
+      results(name) = (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    // end-to-end ER pipeline over synthetic transcripts (~6.5 turns/conv)
+    val cfg = TranscriptGen.GenConfig(
+      nEntities = 2000,
+      nConvs = sys.env.getOrElse("GRAFT_BENCH_CONVS", "20000").toInt)
+    val path = ensureCorpus(spark, cfg)
+    val (secs, nTurns, _) = runPipeline(spark, path, cfg)
+    results("er_pipeline") = secs
+    val throughput = nTurns / secs
+
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val total = results.values.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+            s""""er_turns_per_sec":$throughput,"er_turns":$nTurns,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -21,9 +21,12 @@ object Pipeline {
   case class Config(
       lsh: Blocking.LshConfig = Blocking.LshConfig(),
       score: Scoring.ScoreConfig = Scoring.ScoreConfig(),
-      tau: Int = 2000,
-      blockMaxSize: Int = 200000,
-      ccMaxIter: Int = 50)
+      tau: Int = 512,
+      blockMaxSize: Int = 10000000,
+      starThreshold: Int = 2048,
+      starK: Int = 3,
+      ccMaxIter: Int = 50,
+      supernode: Boolean = true)
 
   def mentions(turns: Dataset[Turn],
                dictBc: Broadcast[Map[String, DictEntry]],
@@ -31,17 +34,100 @@ object Pipeline {
     MentionDetect.run(turns, dictBc, vecsBc)
 
   /** mentions → (mention_id, conv_id, turn_idx, begin, end, surface, norm,
-    * resolved, cluster_id). Singleton mentions keep their own id. */
+    * resolved, cluster_id). Singleton mentions keep their own id.
+    *
+    * Supernode collapse (cfg.supernode): mentions with identical
+    * (norm, resolved) and a confident ED margin are guaranteed to score
+    * above the edge threshold pairwise (jw = lev = 1, agree = 1 ⇒ score ≥
+    * wJw + wLev + wAgree + wPrior·p_top − wCos ≥ threshold for the default
+    * weights), so pairing inside such a group is pure O(n²) waste. Only
+    * one representative (min id) per group enters blocking/scoring; group
+    * members attach through direct member→rep edges. This turns the
+    * same-entity clique volume (quadratic in corpus size — fatal at 10^12
+    * turns where a hot surface has 10^8 identical mentions) into linear
+    * pre-edges. Low-margin mentions are never collapsed. */
   def cluster(ms: Dataset[Mention], cfg: Config = Config()): DataFrame = {
-    val keyed = Blocking.withBlockKeys(ms, cfg.lsh)
-    val pairs = Blocking.candidatePairs(keyed, cfg.tau, cfg.blockMaxSize)
-    val es = Scoring.edges(pairs, cfg.score)
-    val assign = Clustering.connectedComponents(es, cfg.ccMaxIter)
-    ms.toDF()
-      .join(assign, ms("mention_id") === assign("node"), "left")
+    // The mention set feeds 4+ downstream consumers (supernode grouping,
+    // scoring-set anti-filter, payload attach, final assignment join) —
+    // persist it or the detection flatMap (tokenize + greedy match +
+    // context embed + ED) re-executes once per consumer. In production
+    // this is the stage-A checkpoint table (runCheckpointed).
+    import org.apache.spark.storage.StorageLevel
+    val msP = ms.persist(StorageLevel.MEMORY_AND_DISK)
+    val (scoringMs0, memberEdges) =
+      if (cfg.supernode) supernodeCollapse(msP, cfg) else (msP, None)
+    val scoringMs = scoringMs0.persist(StorageLevel.MEMORY_AND_DISK)
+    val keyed = Blocking.withBlockKeys(scoringMs, cfg.lsh)
+    val pairIds = Blocking.candidatePairs(keyed, cfg.tau, cfg.blockMaxSize,
+                                          cfg.starThreshold, cfg.starK)
+    val scored = Scoring.edges(Blocking.attachPayload(pairIds, scoringMs), cfg.score)
+    assemble(msP.toDF(), scored, memberEdges, cfg)
+  }
+
+  /** CC over the SCORING graph only (representatives + low-margin
+    * mentions — size ∝ distinct surface forms, not corpus rows), then a
+    * single join attaches supernode members to their rep's cluster.
+    * Because members sort after their rep (rep = group min), the
+    * component min over scoring nodes is the global min — cluster ids
+    * stay min-member. */
+  private def assemble(msDf: DataFrame, scored: DataFrame,
+                       memberEdges: Option[DataFrame], cfg: Config): DataFrame = {
+    val assign = Clustering.connectedComponents(scored, cfg.ccMaxIter)
+    val full = memberEdges match {
+      case Some(me) =>
+        val memberAssign = me
+          .select(col("src").as("rep_id"), col("dst").as("member_id"))
+          .join(assign, col("rep_id") === col("node"), "left")
+          .select(col("member_id").as("node"),
+                  coalesce(col("cluster_id"), col("rep_id")).as("cluster_id"))
+        assign.unionByName(memberAssign)
+      case None => assign
+    }
+    msDf
+      .join(full, msDf("mention_id") === full("node"), "left")
       .select(col("mention_id"), col("conv_id"), col("turn_idx"), col("begin"),
               col("end"), col("surface"), col("norm"), col("resolved"),
               coalesce(col("cluster_id"), col("mention_id")).as("cluster_id"))
+  }
+
+  /** Split mentions into (scoring set = representatives + low-margin
+    * mentions, member→rep pre-edges).
+    *
+    * Shuffle discipline: the full Mention payload (context vector +
+    * candidate list) never crosses a shuffle here. Grouping and the
+    * member-edge join run on a 4-column slim projection (a hot surface
+    * form is ~13% of all rows — shipping payloads through that key was
+    * measured as THE pipeline bottleneck), and the scoring set is carved
+    * out of the payload table with a broadcast semi-join on the (small)
+    * representative + low-margin id set — map-only. */
+  private def supernodeCollapse(ms: Dataset[Mention], cfg: Config)
+      : (Dataset[Mention], Option[DataFrame]) = {
+    val spark = ms.sparkSession
+    import spark.implicits._
+    val msDf = ms.toDF()
+    val slim = msDf.select(col("mention_id"), col("norm"), col("resolved"),
+                           col("resolvedScore"))
+    val isEligible =
+      col("resolved") =!= "" && col("resolvedScore") >= cfg.score.minMargin
+    val eligible = slim.where(isEligible)
+    // map-side partial min per (norm, resolved): no skew exposure
+    val reps = eligible.groupBy("norm", "resolved")
+      .agg(min("mention_id").as("rep_id"))
+    val withRep = eligible.join(reps, Seq("norm", "resolved"))
+    val memberEdges = withRep.where(col("mention_id") =!= col("rep_id"))
+      .select(col("rep_id").as("src"), col("mention_id").as("dst"))
+    val scoringIds = reps.select(col("rep_id").as("mention_id"))
+      .unionByName(slim.where(!isEligible).select(col("mention_id")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // broadcast the id set when it is broadcast-sized (the normal case:
+    // #distinct surfaces + low-margin tail); degrade to a shuffled
+    // semi-join on the uniform mention_id key otherwise
+    val idRows = scoringIds.count()
+    val idSide = if (idRows <= 5000000L) broadcast(scoringIds) else scoringIds
+    val scoringMs = msDf
+      .join(idSide, Seq("mention_id"), "left_semi")
+      .as[Mention]
+    (scoringMs, Some(memberEdges))
   }
 
   /** Full run from raw turns. */
@@ -72,17 +158,25 @@ object Pipeline {
       mentions(turns, dictBc, vecsBc).toDF()
     }
     val ms = mentionsDf.as[Mention]
+    // edges checkpoint keeps scored and member edges apart (kind column)
+    // so the clusters stage can run CC on the small scored graph only.
     val edgesDf = TableIO.stage(spark, "edges", s"$root/edges", fingerprint) {
-      val keyed = Blocking.withBlockKeys(ms, cfg.lsh)
-      Scoring.edges(Blocking.candidatePairs(keyed, cfg.tau, cfg.blockMaxSize), cfg.score)
+      val (scoringMs, memberEdges) =
+        if (cfg.supernode) supernodeCollapse(ms, cfg) else (ms, None)
+      val keyed = Blocking.withBlockKeys(scoringMs, cfg.lsh)
+      val pairIds = Blocking.candidatePairs(keyed, cfg.tau, cfg.blockMaxSize,
+                                            cfg.starThreshold, cfg.starK)
+      val scored = Scoring.edges(Blocking.attachPayload(pairIds, scoringMs), cfg.score)
+        .withColumn("kind", lit("scored"))
+      memberEdges
+        .map(me => scored.unionByName(me.withColumn("kind", lit("member"))))
+        .getOrElse(scored)
     }
     TableIO.stage(spark, "clusters", s"$root/clusters", fingerprint) {
-      val assign = Clustering.connectedComponents(edgesDf, cfg.ccMaxIter)
-      mentionsDf
-        .join(assign, mentionsDf("mention_id") === assign("node"), "left")
-        .select(col("mention_id"), col("conv_id"), col("turn_idx"), col("begin"),
-                col("end"), col("surface"), col("norm"), col("resolved"),
-                coalesce(col("cluster_id"), col("mention_id")).as("cluster_id"))
+      val scored = edgesDf.where(col("kind") === "scored").drop("kind")
+      val member = edgesDf.where(col("kind") === "member").drop("kind")
+      assemble(mentionsDf, scored,
+               if (cfg.supernode) Some(member) else None, cfg)
     }
   }
 

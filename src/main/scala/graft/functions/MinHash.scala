@@ -103,13 +103,32 @@ object MinHash {
     }
   }
 
+  // Executor-wide embedding cache: token vocabularies are small relative
+  // to corpus rows, so recomputing 32 splitmix rounds per (token, mention)
+  // dominates detection cost without this. Bounded; callers must treat
+  // returned arrays as immutable.
+  private val embCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Float]]()
+  private val EmbCacheMax = 1 << 20
+
+  def hashEmbeddingCached(token: String, dim: Int): Array[Float] = {
+    val key = dim + "|" + token
+    val hit = embCache.get(key)
+    if (hit != null) hit
+    else {
+      val v = hashEmbedding(token, dim)
+      if (embCache.size < EmbCacheMax) embCache.putIfAbsent(key, v)
+      v
+    }
+  }
+
   /** Mean of hash embeddings of a token bag; zero vector for empty input. */
   def meanEmbedding(tokens: Iterable[String], dim: Int): Array[Float] = {
     val acc = new Array[Double](dim)
     var n = 0
     val it = tokens.iterator
     while (it.hasNext) {
-      val e = hashEmbedding(it.next(), dim)
+      val e = hashEmbeddingCached(it.next(), dim)
       var i = 0
       while (i < dim) { acc(i) += e(i); i += 1 }
       n += 1

@@ -50,7 +50,7 @@ object Ann {
     var bits = 0L
     var b = 0
     while (b < nBits) {
-      val hp = graft.functions.MinHash.hashEmbedding(s"hp$b", dim)
+      val hp = graft.functions.MinHash.hashEmbeddingCached(s"hp$b", dim)
       var dot = 0.0
       var i = 0
       while (i < dim) { dot += vec(i) * hp(i); i += 1 }

@@ -3,6 +3,7 @@ package graft.operators
 import graft.functions.MinHash
 import graft.model._
 import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Blocking stage: candidate keys per mention + skew-safe pair generation
@@ -26,9 +27,16 @@ import org.apache.spark.sql.functions._
   */
 object Blocking {
 
-  case class LshConfig(k: Int = 32, bands: Int = 16, rows: Int = 2, charNgram: Int = 3)
+  /** 8 bands × 4 rows: char-3gram sets of surface forms share common
+    * substrings (type words, frequent syllables), so 2-row bands chain
+    * unrelated surfaces into giant mixed blocks (P ≈ j² per band). 4-row
+    * bands keep cross-surface collision ≈ j⁴ while in-dictionary variant
+    * recall stays 1.0 through the ent: key family. */
+  case class LshConfig(k: Int = 32, bands: Int = 8, rows: Int = 4, charNgram: Int = 3)
 
-  /** Explode each mention into (block_key, mention) rows. Map-only.
+  /** Explode each mention into slim (block_key, mention_id) rows —
+    * payloads are attached AFTER pair dedup (attachPayload) so only ids
+    * cross the pair-join shuffles. Map-only.
     * Third key family "ent:<candidate entity>" is REL's own blocking
     * semantics: two surface forms that share a candidate entity in the
     * p(e|m) dictionary land in the same block, so in-dictionary variants
@@ -42,73 +50,126 @@ object Blocking {
       val sig = MinHash.signature(shingles, lsh.k)
       val bandKeys = MinHash.bandKeys(sig, lsh.bands, lsh.rows)
       val entKeys = m.candidates.map(c => "ent:" + c.entity)
-      (exact +: (bandKeys ++ entKeys).toSeq).distinct.map(k => (k, m))
-    }.toDF("block_key", "m")
+      (exact +: (bandKeys ++ entKeys).toSeq).distinct.map(k => (k, m.mention_id))
+    }.toDF("block_key", "mid")
+  }
+
+  /** Join the scoring payload back onto deduped id pairs (two hash joins;
+    * the pair frame carries only ids until here). */
+  def attachPayload(pairIds: DataFrame, mentions: Dataset[Mention]): DataFrame = {
+    val payload = mentions.toDF().select(
+      col("mention_id"), col("norm"), col("ctx"), col("candidates"),
+      col("resolved"), col("resolvedScore"))
+    val a = payload.select(struct(payload.columns.map(col): _*).as("a"),
+                           col("mention_id").as("a_id"))
+    val b = payload.select(struct(payload.columns.map(col): _*).as("b"),
+                           col("mention_id").as("b_id"))
+    pairIds.join(a, "a_id").join(b, "b_id").select(col("a"), col("b"))
   }
 
   /** Distinct candidate pairs (a.mention_id < b.mention_id, exactly once)
-    * from (block_key, m) rows.
+    * from (block_key, m) rows. Three regimes by block size n:
     *
-    * Hot keys (count > tau) use a triangle-distribution salted self-join:
-    * rows of a key are split into g = ceil(count/tau) salt groups by
-    * hash(id); reducer (i, j), i <= j, compares group i against group j, so
-    * no single task sees more than ~2·tau rows of one key. Each row is
-    * replicated g+1 times — the standard cost of skew-free O(n²) pair work.
-    * Cold keys take a plain self-join (no replication). Pair-set equality
-    * with the naive join is property-tested in BlockingSpec.
-    *
-    * Keys with count > blockMaxSize are dropped (oversized-block discard).
+    *  - n ≤ tau: plain self-join (no replication; AQE skew-join backstop).
+    *  - tau < n ≤ starThreshold: triangle-distribution salted self-join —
+    *    rows split into g = ceil(n/tau) salt groups by hash(id); reducer
+    *    (i, j), i ≤ j, compares group i vs group j, so no task sees more
+    *    than ~2·tau rows of one key. Full O(n²) pair set, skew-free.
+    *    Pair-set equality with the naive join is property-tested.
+    *  - starThreshold < n ≤ blockMaxSize: STAR pairs — every member pairs
+    *    with the starK smallest mention_ids of the block only (O(n·K)).
+    *    At 10^12-turn scale a hot surface form yields 10^6+-mention
+    *    blocks; all-pairs is physically impossible (10^12 pairs per
+    *    block) and unnecessary: transitive clustering only needs a
+    *    spanning structure, which the star provides as long as members
+    *    match the hub (the ED-agreement feature carries this for
+    *    same-entity blocks). Recall under forced star mode is covered by
+    *    the golden F1 test.
+    *  - n > blockMaxSize: dropped (oversized-block discard; a key shared
+    *    by that many mentions carries ~no signal).
     */
-  def candidatePairs(keyed: DataFrame, tau: Int = 2000,
-                     blockMaxSize: Int = 200000): DataFrame = {
-    val counts = keyed.groupBy("block_key")
-      .agg(count(lit(1)).as("key_n"))
+  def candidatePairs(keyed: DataFrame, tau: Int = 512,
+                     blockMaxSize: Int = 10000000,
+                     starThreshold: Int = 2048,
+                     starK: Int = 3): DataFrame = {
+    require(tau <= starThreshold, "regimes: cold <= tau < triangle <= starThreshold < star")
+
+    // Block purging (meta-blocking): a mention's nm:, ent: and all 16 LSH
+    // band keys are often IDENTICAL member sets (e.g. every mention of one
+    // hot surface form shares all its keys) — pairing each copy would
+    // materialize the same pair set 18x. Collapse keys with identical
+    // (size, member-set hash) to one representative key. 122-bit
+    // signature → collisions are negligible; pair-set equality with the
+    // naive join is property-tested.
+    val sigs = keyed.groupBy("block_key").agg(
+      count(lit(1)).as("key_n"),
+      sum(pmod(xxhash64(col("mid")), lit(1000000007L))).as("sig1"),
+      sum(pmod(xxhash64(col("mid"), lit(7)), lit(998244353L))).as("sig2"))
+    val repKeys = sigs
       .where(col("key_n") >= 2 && col("key_n") <= blockMaxSize)
+      .groupBy("key_n", "sig1", "sig2")
+      .agg(min("block_key").as("block_key"))
+      .select("block_key", "key_n")
 
-    val rows = keyed.join(counts, Seq("block_key"))
+    // Three regime branches + hub extraction each consume `rows` — persist
+    // it (it is the purged key table, far smaller than the pair output) so
+    // the keyed⋈repKeys join doesn't re-execute per branch.
+    val rows = keyed.join(repKeys, Seq("block_key"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    val cold = rows.where(col("key_n") <= tau).select(col("block_key"), col("m"))
+    val cold = rows.where(col("key_n") <= tau).select(col("block_key"), col("mid"))
     val coldPairs = cold.as("L").join(cold.as("R"), Seq("block_key"))
-      .where(col("L.m.mention_id") < col("R.m.mention_id"))
-      .select(col("L.m").as("a"), col("R.m").as("b"))
+      .where(col("L.mid") < col("R.mid"))
+      .select(col("L.mid").as("a_id"), col("R.mid").as("b_id"))
 
-    val hot = rows.where(col("key_n") > tau)
+    val hot = rows.where(col("key_n") > tau && col("key_n") <= starThreshold)
       .withColumn("n_groups", ceil(col("key_n").cast("double") / tau).cast("int"))
-      .withColumn("grp", pmod(xxhash64(col("m.mention_id")), col("n_groups")).cast("int"))
+      .withColumn("grp", pmod(xxhash64(col("mid")), col("n_groups")).cast("int"))
     // Row in salt group g is the LEFT input of reducers (g, j), j in
     // [g, G-1], and the RIGHT input of reducers (i, g), i in [0, g].
     val lhs = hot
       .withColumn("j", explode(sequence(col("grp"), col("n_groups") - 1)))
-      .select(col("block_key"), col("grp").as("i"), col("j"), col("m").as("a"))
+      .select(col("block_key"), col("grp").as("i"), col("j"), col("mid").as("l_mid"))
     val rhs = hot
       .withColumn("i", explode(sequence(lit(0), col("grp"))))
-      .select(col("block_key"), col("i"), col("grp").as("j"), col("m").as("b"))
+      .select(col("block_key"), col("i"), col("grp").as("j"), col("mid").as("r_mid"))
     val hotPairs = lhs.join(rhs, Seq("block_key", "i", "j"))
-      .where(col("i") < col("j") || col("a.mention_id") < col("b.mention_id"))
-      .select(col("a"), col("b"))
+      .where(col("i") < col("j") || col("l_mid") < col("r_mid"))
+      .select(least(col("l_mid"), col("r_mid")).as("a_id"),
+              greatest(col("l_mid"), col("r_mid")).as("b_id"))
+
+    // Star regime: members × the starK min-id hub rows of the block.
+    // Hubs are few (starK per oversized key) → broadcast hash join, no
+    // shuffle skew at all on the giant side.
+    val giant = rows.where(col("key_n") > starThreshold)
+      .select(col("block_key"), col("mid"))
+    // K smallest ids per giant block via the partial-aggregating TopKAgg
+    // (equal scores → payload-asc = min-K); no collect_list, so a block
+    // with 10^8 members still only ships K rows per partition.
+    val spark = keyed.sparkSession
+    import spark.implicits._
+    val minK = new graft.functions.TopKAgg(starK).toColumn
+    val hubs = giant.as[(String, String)]
+      .map { case (k, mid) => (k, (0.0, mid)) }
+      .groupByKey(_._1).mapValues(_._2)
+      .agg(minK.name("top"))
+      .toDF("block_key", "top")
+      .select(col("block_key"), explode(expr("transform(top, x -> x._2)")).as("hub_id"))
+    val starPairs = giant.join(broadcast(hubs), Seq("block_key"))
+      .where(col("mid") =!= col("hub_id"))
+      .select(least(col("mid"), col("hub_id")).as("a_id"),
+              greatest(col("mid"), col("hub_id")).as("b_id"))
 
     // The same pair can arrive via several block keys (exact + LSH bands)
-    // and, on the hot path, with a/b in either order — canonicalize then
-    // dedupe on the id pair.
-    coldPairs.union(hotPairs)
-      .select(
-        when(col("a.mention_id") <= col("b.mention_id"), col("a")).otherwise(col("b")).as("a"),
-        when(col("a.mention_id") <= col("b.mention_id"), col("b")).otherwise(col("a")).as("b"))
-      .withColumn("a_id", col("a.mention_id"))
-      .withColumn("b_id", col("b.mention_id"))
+    // and, on the hot/star paths, in either order — dedupe on the id pair.
+    coldPairs.union(hotPairs).union(starPairs)
       .dropDuplicates("a_id", "b_id")
-      .select(col("a"), col("b"))
   }
 
   /** Naive reference pair generator (testing only): plain self-join. */
-  def naivePairs(keyed: DataFrame): DataFrame = {
-    val l = keyed.select(col("block_key"), col("m").as("a"))
-    val r = keyed.select(col("block_key"), col("m").as("b"))
-    l.as("L").join(r.as("R"), Seq("block_key"))
-      .where(col("a.mention_id") < col("b.mention_id"))
-      .withColumn("a_id", col("a.mention_id"))
-      .withColumn("b_id", col("b.mention_id"))
+  def naivePairs(keyed: DataFrame): DataFrame =
+    keyed.as("L").join(keyed.as("R"), Seq("block_key"))
+      .where(col("L.mid") < col("R.mid"))
+      .select(col("L.mid").as("a_id"), col("R.mid").as("b_id"))
       .dropDuplicates("a_id", "b_id")
-      .select(col("a"), col("b"))
-  }
 }

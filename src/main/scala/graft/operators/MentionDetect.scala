@@ -22,11 +22,40 @@ object MentionDetect {
   type Dict = Map[String, DictEntry]
 
   val MaxNgram = 5          // REL Cmns n=5..1 [M]
-  val CtxWindow = 100       // REL get_ctxt ±100 words [M]
+  // REL's get_ctxt uses ±100 words over document text [M]; transcript
+  // turns are short and topic-dense, so a tight local window keeps the
+  // context embedding informative instead of averaging in the whole turn.
+  val CtxWindow = 4
   val CtxDim = 32           // hash-embedding dim for context vectors
 
-  def tokenize(text: String): Array[String] =
-    TextFns.TokenPattern.r.findAllIn(text.toLowerCase).toArray
+  private val TokenRe = java.util.regex.Pattern.compile(TextFns.TokenPattern)
+
+  def tokenize(text: String): Array[String] = {
+    val m = TokenRe.matcher(text.toLowerCase)
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    while (m.find()) out += m.group()
+    out.toArray
+  }
+
+  /** Per-executor index: first token of a dictionary surface → bitmask of
+    * entry lengths starting with it (bit n-1 = an n-token entry exists).
+    * Lets `detect` skip the n-gram join+probe for the overwhelming
+    * majority of positions (one array read instead of a string build +
+    * hash probe per (position, size)). Cached per broadcast id. */
+  private val indexCache =
+    new java.util.concurrent.ConcurrentHashMap[Long, Map[String, Int]]()
+
+  def firstTokenMasks(dict: Dict): Map[String, Int] =
+    dict.keysIterator.foldLeft(Map.empty[String, Int]) { (acc, surface) =>
+      val sp = surface.indexOf(' ')
+      val first = if (sp < 0) surface else surface.substring(0, sp)
+      val n = surface.count(_ == ' ') + 1
+      if (n > MaxNgram) acc
+      else acc.updated(first, acc.getOrElse(first, 0) | (1 << (n - 1)))
+    }
+
+  private def cachedMasks(dict: Dict, cacheKey: Long): Map[String, Int] =
+    indexCache.computeIfAbsent(cacheKey, _ => firstTokenMasks(dict))
 
   /** REL-style case-normalization cascade (preprocess_mention [M]):
     * try the exact form, then the recased phrase, then the lowercase
@@ -55,29 +84,47 @@ object MentionDetect {
   final case class Span(begin: Int, end: Int, surface: String, entry: DictEntry)
 
   /** Greedy longest-match detection over a token array. Deterministic:
-    * longer n-grams win, then leftmost-first. */
-  def detect(tokens: Array[String], dict: Dict): List[Span] = {
+    * longer n-grams win, then leftmost-first. `masks` (first-token →
+    * length bitmask) prunes probes; pass None to build it ad hoc. */
+  def detect(tokens: Array[String], dict: Dict,
+             masksOpt: Option[Map[String, Int]] = None): List[Span] = {
+    val masks = masksOpt.getOrElse(firstTokenMasks(dict))
     val n = tokens.length
+    // per-position length mask, one hash probe per token
+    val posMask = new Array[Int](n)
+    var p = 0
+    while (p < n) { posMask(p) = masks.getOrElse(tokens(p), 0); p += 1 }
     val taken = new Array[Boolean](n)
     val out = scala.collection.mutable.ListBuffer.empty[Span]
-    var size = math.min(MaxNgram, n)
+    var size = math.min(MaxNgram, n)    // REL Cmns: longest n first
     while (size >= 1) {
+      val bit = 1 << (size - 1)
       var i = 0
       while (i + size <= n) {
-        var free = true
-        var j = i
-        while (j < i + size) { if (taken(j)) free = false; j += 1 }
-        if (free) {
-          val surface = tokens.slice(i, i + size).mkString(" ")
-          dict.get(surface) match {
-            case Some(entry) =>
-              out += Span(i, i + size, surface, entry)
-              j = i
-              while (j < i + size) { taken(j) = true; j += 1 }
-              i += size
-            case None => i += 1
+        if ((posMask(i) & bit) != 0) {
+          var free = true
+          var j = i
+          while (j < i + size) { if (taken(j)) free = false; j += 1 }
+          if (free) {
+            val surface =
+              if (size == 1) tokens(i)
+              else {
+                val sb = new java.lang.StringBuilder(tokens(i))
+                var k = i + 1
+                while (k < i + size) { sb.append(' ').append(tokens(k)); k += 1 }
+                sb.toString
+              }
+            dict.get(surface) match {
+              case Some(entry) =>
+                out += Span(i, i + size, surface, entry)
+                j = i
+                while (j < i + size) { taken(j) = true; j += 1 }
+                i += size - 1
+              case None =>
+            }
           }
-        } else i += 1
+        }
+        i += 1
       }
       size -= 1
     }
@@ -134,9 +181,10 @@ object MentionDetect {
   /** Full per-turn mention extraction: tokenize → detect → normalize →
     * context embed → resolve. Pure; maps a Turn to its Mentions. */
   def mentionsOfTurn(t: Turn, dict: Dict,
-                     entityVec: String => Array[Float]): Seq[Mention] = {
+                     entityVec: String => Array[Float],
+                     masks: Option[Map[String, Int]] = None): Seq[Mention] = {
     val toks = tokenize(if (t.text == null) "" else t.text)
-    detect(toks, dict).map { s =>
+    detect(toks, dict, masks).map { s =>
       val ctxToks = contextTokens(toks, s.begin, s.end)
       val ctx = MinHash.meanEmbedding(ctxToks, CtxDim)
       val (resolved, score) = resolve(s.entry.candidates, ctx, entityVec)
@@ -152,10 +200,13 @@ object MentionDetect {
           entityVecBc: Broadcast[Map[String, Array[Float]]]): Dataset[Mention] = {
     val spark = turns.sparkSession
     import spark.implicits._
-    turns.flatMap { t =>
+    val bcId = dictBc.id
+    turns.mapPartitions { it =>
+      val dict = dictBc.value
+      val masks = Some(cachedMasks(dict, bcId))
       val ev: String => Array[Float] =
         e => entityVecBc.value.getOrElse(e, Array.empty[Float])
-      mentionsOfTurn(t, dictBc.value, ev)
+      it.flatMap(t => mentionsOfTurn(t, dict, ev, masks))
     }
   }
 }

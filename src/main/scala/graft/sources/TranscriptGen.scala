@@ -166,8 +166,11 @@ object TranscriptGen {
     while (t < nTurns) {
       val hTurn = mix(cfg.seed, 0x77L, convIdx, t.toLong)
       val hasMention = uniform(splitmix64(hTurn ^ 1)) < cfg.mentionProb
-      val nFillPre = 2 + pick(splitmix64(hTurn ^ 2), 3)
-      val nFillPost = 1 + pick(splitmix64(hTurn ^ 3), 3)
+      // realistic transcript-turn lengths (~20-50 tokens); topic tokens sit
+      // immediately before the mention so the ±CtxWindow local context
+      // carries the disambiguation signal regardless of padding length
+      val nFillPre = 8 + pick(splitmix64(hTurn ^ 2), 16)
+      val nFillPost = 6 + pick(splitmix64(hTurn ^ 3), 12)
       val toks = scala.collection.mutable.ArrayBuffer.empty[String]
       var f = 0
       while (f < nFillPre) {
@@ -204,6 +207,10 @@ object TranscriptGen {
         toks ++= mtoks
         golds += GoldMention(convId, t, begin, begin + mtoks.length,
                              surfaceLower, entityId(ei))
+        // trailing topic tokens — the local context is topic-dense on
+        // both sides of the mention, like an entity-bearing utterance
+        toks += tt((start + 3) % tt.length)
+        toks += tt((start + 4) % tt.length)
       }
       f = 0
       while (f < nFillPost) {

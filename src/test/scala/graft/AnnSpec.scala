@@ -1,0 +1,60 @@
+package graft
+
+import graft.operators.Ann
+import org.apache.spark.sql.functions._
+
+class AnnSpec extends SparkSpec {
+  import spark.implicits._
+
+  lazy val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    .select(col("vec_id").as("id"), col("embedding").as("vec")).cache()
+
+  test("brute-force top-k: ranks are 1..k, cosine non-increasing, no self") {
+    val qs = emb.where(col("id") < 5)
+    val out = Ann.bruteForceTopK(emb, qs, 5)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(out.length == 5 * 5)
+    out.groupBy(_._1).foreach { case (q, rows) =>
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1L to 5L))
+      assert(sorted.sliding(2).forall(p => p(0)._4 >= p(1)._4), s"cos not sorted for q=$q")
+      assert(rows.forall(_._3 != q))
+    }
+  }
+
+  test("brute-force matches a driver-side exact computation") {
+    val all = emb.as[(Long, Array[Float])].collect()
+    val q = all.find(_._1 == 0L).get
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      (0 until a.length).foreach { i =>
+        d += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i)
+      }
+      d / math.sqrt(na * nb)
+    }
+    val expect = all.filter(_._1 != 0L)
+      .map { case (id, v) => (BigDecimal(cos(q._2, v)).setScale(5, BigDecimal.RoundingMode.HALF_UP).toDouble, id) }
+      .sortBy { case (c, id) => (-c, id) }.take(5).map(_._2).toSeq
+    val got = Ann.bruteForceTopK(emb, emb.where(col("id") === 0), 5)
+      .orderBy("rank").select("id").as[Long].collect().toSeq
+    assert(got == expect)
+  }
+
+  test("LSH top-k achieves reasonable recall vs brute force") {
+    val qs = emb.where(col("id") < 20)
+    val exact = Ann.bruteForceTopK(emb, qs, 5)
+      .select("q_id", "id").as[(Long, Long)].collect().toSet
+    val approx = Ann.lshTopK(emb, qs, 5, bands = 16, rows = 2)
+      .select("q_id", "id").as[(Long, Long)].collect().toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    info(f"lsh recall@5 = $recall%.3f")
+    assert(recall >= 0.5, s"recall $recall")
+  }
+
+  test("LSH is deterministic") {
+    val qs = emb.where(col("id") < 5)
+    val a = Ann.lshTopK(emb, qs, 3).collect().map(_.toString).sorted.toSeq
+    val b = Ann.lshTopK(emb, qs, 3).collect().map(_.toString).sorted.toSeq
+    assert(a == b)
+  }
+}

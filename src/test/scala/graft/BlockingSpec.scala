@@ -11,43 +11,71 @@ class BlockingSpec extends SparkSpec {
     Mention(f"m$id%05d", "c", 0, 0, 1, norm, norm,
             Array(Candidate("e", 1.0)), Array(0.1f, 0.2f), "e", 1.0)
 
-  /** Random keyed frame with deliberate hot keys. */
+  /** Random keyed (block_key, mid) frame with deliberate hot keys. */
   def keyedFixture(seed: Int, n: Int, nKeys: Int, hotShare: Double) = {
     val rng = new scala.util.Random(seed)
     (0 until n).map { i =>
       val key = if (rng.nextDouble() < hotShare) "hot" else s"k${rng.nextInt(nKeys)}"
-      (key, mention(i, s"norm$i"))
-    }.toDF("block_key", "m")
+      (key, f"m$i%05d")
+    }.toDF("block_key", "mid")
   }
 
   test("salted pair set equals naive pair set (hot + cold keys)") {
     val keyed = keyedFixture(42, 400, 20, 0.4).cache()
-    val naive = Blocking.naivePairs(keyed)
-      .select(col("a.mention_id"), col("b.mention_id")).as[(String, String)]
-      .collect().toSet
+    val naive = Blocking.naivePairs(keyed).as[(String, String)].collect().toSet
     // tau small → the hot key (≈160 rows) takes the salted triangle path
-    val salted = Blocking.candidatePairs(keyed, tau = 30, blockMaxSize = 100000)
-      .select(col("a.mention_id"), col("b.mention_id")).as[(String, String)]
-      .collect().toSet
+    val salted = Blocking.candidatePairs(keyed, tau = 30, blockMaxSize = 100000,
+                                         starThreshold = 100000)
+      .as[(String, String)].collect().toSet
     assert(salted == naive)
     assert(naive.nonEmpty)
-    // pairs are canonical and unique
     assert(salted.forall { case (a, b) => a < b })
   }
 
+  test("block purging never changes the pair set (identical-member keys)") {
+    // same members under many different keys (like nm: + 8 LSH bands)
+    val base = (0 until 50).map(i => f"m$i%05d")
+    val keyed = (0 until 10).flatMap(k => base.map(m => (s"key$k", m)))
+      .toDF("block_key", "mid").cache()
+    val naive = Blocking.naivePairs(keyed).as[(String, String)].collect().toSet
+    val got = Blocking.candidatePairs(keyed, tau = 10, blockMaxSize = 100000,
+                                      starThreshold = 100000)
+      .as[(String, String)].collect().toSet
+    assert(got == naive)
+    assert(got.size == 50 * 49 / 2)
+  }
+
   test("a mention in multiple blocks yields each pair once") {
-    val keyed = Seq(
-      ("k1", mention(1, "x")), ("k1", mention(2, "y")),
-      ("k2", mention(1, "x")), ("k2", mention(2, "y")),
-    ).toDF("block_key", "m")
-    val pairs = Blocking.candidatePairs(keyed, tau = 10, blockMaxSize = 100)
-    assert(pairs.count() == 1)
+    val keyed = Seq(("k1", "m1"), ("k1", "m2"), ("k2", "m1"), ("k2", "m2"))
+      .toDF("block_key", "mid")
+    assert(Blocking.candidatePairs(keyed, tau = 10).count() == 1)
   }
 
   test("blockMaxSize drops oversized blocks entirely") {
-    val keyed = (0 until 50).map(i => ("huge", mention(i, s"n$i"))).toDF("block_key", "m")
+    val keyed = (0 until 50).map(i => ("huge", f"m$i%05d")).toDF("block_key", "mid")
     assert(Blocking.candidatePairs(keyed, tau = 10, blockMaxSize = 49).count() == 0)
-    assert(Blocking.candidatePairs(keyed, tau = 10, blockMaxSize = 50).count() == 50L * 49 / 2)
+    assert(Blocking.candidatePairs(keyed, tau = 10, blockMaxSize = 50,
+                                   starThreshold = 1000).count() == 50L * 49 / 2)
+  }
+
+  test("star regime: oversized blocks produce member-hub pairs only") {
+    val n = 40
+    val keyed = (0 until n).map(i => ("giant", f"m$i%05d")).toDF("block_key", "mid")
+    val pairs = Blocking.candidatePairs(keyed, tau = 5, blockMaxSize = 1000,
+                                        starThreshold = 20, starK = 3)
+      .as[(String, String)].collect().toSet
+    val hubs = (0 until 3).map(i => f"m$i%05d").toSet
+    assert(pairs.forall { case (a, b) => hubs.contains(a) || hubs.contains(b) })
+    assert(pairs.size == (n - 1) + (n - 2) + (n - 3))
+    // connectivity: the pair graph spans all members
+    val parent = scala.collection.mutable.Map.empty[String, String]
+    def find(x: String): String = {
+      val p = parent.getOrElse(x, x); if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(rb) = ra
+    }
+    assert((0 until n).map(i => find(f"m$i%05d")).toSet.size == 1)
   }
 
   test("block keys contain exact norm, LSH band, and candidate-entity keys") {
@@ -55,13 +83,22 @@ class BlockingSpec extends SparkSpec {
     val keys = Blocking.withBlockKeys(ms).select("block_key").as[String].collect()
     assert(keys.contains("nm:bakozu corp"))
     assert(keys.contains("ent:e"))
-    assert(keys.count(_.startsWith("b")) == 16) // 16 bands of 2 rows
+    assert(keys.count(_.startsWith("b")) == 8) // 8 bands of 4 rows
   }
 
-  test("typo'd variants share at least one block key (LSH recall path)") {
+  test("in-dictionary variants always share a block key (ent: family)") {
     val ms = Seq(mention(1, "bakozu corp"), mention(2, "bakzou corp")).toDS()
     val keyed = Blocking.withBlockKeys(ms)
     val shared = keyed.groupBy("block_key").count().where(col("count") === 2)
-    assert(shared.count() >= 1)
+      .select("block_key").as[String].collect()
+    assert(shared.contains("ent:e"))
+  }
+
+  test("attachPayload restores scoring fields for both sides") {
+    val ms = Seq(mention(1, "x"), mention(2, "y")).toDS()
+    val pairs = Seq(("m00001", "m00002")).toDF("a_id", "b_id")
+    val out = Blocking.attachPayload(pairs, ms)
+    val row = out.select(col("a.norm"), col("b.norm"), col("a.resolved")).head()
+    assert(row.getString(0) == "x" && row.getString(1) == "y" && row.getString(2) == "e")
   }
 }

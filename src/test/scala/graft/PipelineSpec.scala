@@ -61,6 +61,16 @@ class PipelineSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("forced star-pair regime still hits pairwise F1 >= 0.99") {
+    // starThreshold far below the hot blocks → the zipf-hot entities go
+    // through the O(n·K) star path; F1 must hold (spanning connectivity)
+    val starCfg = Pipeline.Config(tau = 32, starThreshold = 64, starK = 3)
+    val starClusters = Pipeline.run(turns, dict, vecs, starCfg)
+    val f1 = Pipeline.pairwiseF1(starClusters, gold, dict, starCfg)
+    info(f"star mode: tp=${f1.tp} fp=${f1.fp} fn=${f1.fn} F1=${f1.f1}%.4f")
+    assert(f1.f1 >= 0.99, s"star-mode F1 ${f1.f1} (tp=${f1.tp} fp=${f1.fp} fn=${f1.fn})")
+  }
+
   test("every gold mention lands in a cluster; ids are min-member") {
     val n = clusters.count()
     assert(n == gold.count())
