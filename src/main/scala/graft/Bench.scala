@@ -54,9 +54,15 @@ object Bench {
     val spark = benchSession(cpus)
 
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val failed = scala.collection.mutable.ArrayBuffer[String]()
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => }
+      try { fn(spark, sfDir).count() } catch {
+        case e: Throwable =>
+          // a crashed query must not be recorded as a fast success
+          failed += name
+          System.err.println(s"[bench] $name FAILED: ${e.getClass.getName}: ${e.getMessage}")
+      }
       results(name) = (System.nanoTime() - t0) / 1e9
     }
 
@@ -70,9 +76,16 @@ object Bench {
     val throughput = nTurns / secs
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val fq = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.values.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-            s""""er_turns_per_sec":$throughput,"er_turns":$nTurns,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+               s""""failed":$fq,"er_turns_per_sec":$throughput,"er_turns":$nTurns,"sf":"$sfDir"}"""
+    println(json)
+    // also land the line in a file: the round-1 driver failed to parse it
+    // out of interleaved sbt/log4j noise on stdout
+    java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
+      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
+    if (failed.nonEmpty) sys.exit(1)
   }
 }

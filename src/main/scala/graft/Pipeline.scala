@@ -53,15 +53,21 @@ object Pipeline {
     // context embed + ED) re-executes once per consumer. In production
     // this is the stage-A checkpoint table (runCheckpointed).
     import org.apache.spark.storage.StorageLevel
-    val msP = ms.persist(StorageLevel.MEMORY_AND_DISK)
+    val msP = CacheTracker.register(ms.persist(StorageLevel.MEMORY_AND_DISK))
     val (scoringMs0, memberEdges) =
       if (cfg.supernode) supernodeCollapse(msP, cfg) else (msP, None)
-    val scoringMs = scoringMs0.persist(StorageLevel.MEMORY_AND_DISK)
+    val scoringMs = CacheTracker.register(scoringMs0.persist(StorageLevel.MEMORY_AND_DISK))
     val keyed = Blocking.withBlockKeys(scoringMs, cfg.lsh)
     val pairIds = Blocking.candidatePairs(keyed, cfg.tau, cfg.blockMaxSize,
                                           cfg.starThreshold, cfg.starK)
     val scored = Scoring.edges(Blocking.attachPayload(pairIds, scoringMs), cfg.score)
-    assemble(msP.toDF(), scored, memberEdges, cfg)
+    // Materialize the assignment (localCheckpoint is the in-memory analogue
+    // of the stage table runCheckpointed writes), then release every
+    // intermediate cache — callers get a self-contained frame and repeated
+    // cluster() calls in one session no longer accumulate cached blocks.
+    val out = assemble(msP.toDF(), scored, memberEdges, cfg).localCheckpoint(true)
+    CacheTracker.drainUnpersist()
+    out
   }
 
   /** CC over the SCORING graph only (representatives + low-margin
@@ -116,9 +122,10 @@ object Pipeline {
     val withRep = eligible.join(reps, Seq("norm", "resolved"))
     val memberEdges = withRep.where(col("mention_id") =!= col("rep_id"))
       .select(col("rep_id").as("src"), col("mention_id").as("dst"))
-    val scoringIds = reps.select(col("rep_id").as("mention_id"))
-      .unionByName(slim.where(!isEligible).select(col("mention_id")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val scoringIds = CacheTracker.register(
+      reps.select(col("rep_id").as("mention_id"))
+        .unionByName(slim.where(!isEligible).select(col("mention_id")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     // broadcast the id set when it is broadcast-sized (the normal case:
     // #distinct surfaces + low-margin tail); degrade to a shuffled
     // semi-join on the uniform mention_id key otherwise
@@ -172,6 +179,8 @@ object Pipeline {
         .map(me => scored.unionByName(me.withColumn("kind", lit("member"))))
         .getOrElse(scored)
     }
+    // the edges stage table is on disk now — release blocking's caches
+    CacheTracker.drainUnpersist()
     TableIO.stage(spark, "clusters", s"$root/clusters", fingerprint) {
       val scored = edgesDf.where(col("kind") === "scored").drop("kind")
       val member = edgesDf.where(col("kind") === "member").drop("kind")

@@ -300,9 +300,10 @@ object SparkEntry {
   }
 
   // ------------------------------------------------------------------
-  //  DuckDB oracles (driver-run at sf0.01). Non-SQL-expressible ops
-  //  (q20 minhash banding internals are oracled via the exact-jaccard
-  //  reformulation; q21 simhash has no oracle) are omitted.
+  //  DuckDB oracles (driver-run at sf0.01). Probabilistic internals are
+  //  oracled via exact reformulations: q20 minhash via exact all-pairs
+  //  jaccard (the LSH banding is recall-sound at the verify threshold),
+  //  q21 simhash via an exact md5-hash signature recomputation in SQL.
   // ------------------------------------------------------------------
 
   def oracleSql: Map[String, String] = Map(
@@ -328,12 +329,17 @@ object SparkEntry {
         |  FROM events)
         |WHERE rank <= 3 ORDER BY event_type, rank""".stripMargin,
 
+    // floor(epoch(ts)) matches Spark's cast-to-long seconds truncation on
+    // sub-second timestamps; CAST(sum AS BIGINT) because DuckDB sums
+    // integers to HUGEINT while Spark emits BIGINT (round-1 hash fail).
     "q04_sessionize_events" ->
       """SELECT user_id, count(*) AS n_events,
-        |  sum(CASE WHEN gap IS NULL OR gap > 3600 THEN 1 ELSE 0 END) AS n_sessions
+        |  CAST(sum(CASE WHEN gap IS NULL OR gap > 3600 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
         |FROM (
         |  SELECT user_id,
-        |         epoch(ts) - lag(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+        |         CAST(floor(epoch(ts)) AS BIGINT)
+        |           - lag(CAST(floor(epoch(ts)) AS BIGINT))
+        |             OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
         |  FROM events)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
@@ -347,7 +353,7 @@ object SparkEntry {
          |SELECT count(*) AS n_turns,
          |  count(DISTINCT conv_id) AS n_convs,
          |  count(*) - count(DISTINCT conv_id || ':' || turn_idx) AS n_key_dupes,
-         |  sum(CASE WHEN tr.text <> d.text THEN 1 ELSE 0 END) AS n_mutated
+         |  CAST(sum(CASE WHEN tr.text <> d.text THEN 1 ELSE 0 END) AS BIGINT) AS n_mutated
          |FROM tr JOIN documents d USING (doc_id)""".stripMargin,
 
     "q07_tokenize" ->
@@ -474,6 +480,33 @@ object SparkEntry {
         |            (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 4) >= 0.6
         |ORDER BY a_id, b_id""".stripMargin,
 
+    // Exact all-pairs SimHash at Hamming<=3 — reproduces the Spark kernel
+    // bit-for-bit: the feature hash is the first 8 bytes of md5(token)
+    // (MinHash.md5Long == ('0x'||substr(md5(tok),1,16))::UBIGINT), bit j of
+    // the signature is sign(sum over token occurrences of ±1), pairs by
+    // bit_count(xor). Spark's Manku block-banding has recall 1.0 at <=3
+    // bits (pigeonhole), so both sides are the same exact pair set.
+    "q21_simhash_neardup" ->
+      """WITH t AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(lower(text),'[a-z0-9]+')) AS tok
+        |  FROM documents),
+        |tc AS (SELECT doc_id, tok, count(*) AS cnt FROM t GROUP BY 1, 2),
+        |h AS (SELECT doc_id, ('0x' || substr(md5(tok),1,16))::UBIGINT AS hv, cnt FROM tc),
+        |bits AS (
+        |  SELECT doc_id, b AS bit,
+        |         sum(CASE WHEN (hv >> b) & 1 = 1 THEN cnt ELSE -cnt END) AS s
+        |  FROM h, (SELECT unnest(range(64)) AS b) bb
+        |  GROUP BY 1, 2),
+        |sig AS (
+        |  SELECT doc_id,
+        |         CAST(sum(CASE WHEN s > 0 THEN (1::UBIGINT << bit) ELSE 0::UBIGINT END) AS UBIGINT) AS sim
+        |  FROM bits GROUP BY 1)
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |       CAST(bit_count(xor(a.sim, b.sim)) AS BIGINT) AS hamming
+        |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.sim, b.sim)) <= 3
+        |ORDER BY a_id, b_id""".stripMargin,
+
     "q22_quality" ->
       s"""WITH ${QueryLib.TokCte},
          |q AS (
@@ -509,8 +542,8 @@ object SparkEntry {
 
     "q24_token_count" ->
       """SELECT source,
-        |  sum(CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT)) AS bpeish_tokens,
-        |  sum(CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT)) AS ws_tokens
+        |  CAST(sum(CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT)) AS BIGINT) AS bpeish_tokens,
+        |  CAST(sum(CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT)) AS BIGINT) AS ws_tokens
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q25_embed_cosine" ->

@@ -86,6 +86,70 @@ object MinHash {
 
   def hammingDistance(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
 
+  /** First 8 bytes of MD5(UTF-8 bytes) as a big-endian long — chosen over
+    * murmur for the feature hash of [[simHashMd5]] because a DuckDB oracle
+    * can compute the identical value: `('0x' || substr(md5(tok),1,16))::
+    * UBIGINT` (verified bit-for-bit). */
+  def md5Long(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    var out = 0L
+    var i = 0
+    while (i < 8) { out = (out << 8) | (d(i) & 0xffL); i += 1 }
+    out
+  }
+
+  /** 64-bit SimHash (Charikar) over a token MULTISET with the md5 feature
+    * hash: bit j is set iff the sum over token occurrences of
+    * (+1 if bit j of md5Long(token) else -1) is > 0. Unigram tokens (not
+    * shingles) make the sketch robust to small edits: appending one token
+    * shifts every bit-sum by ±1, flipping only bits whose margin was ≤ 1.
+    */
+  def simHashMd5(tokens: Iterable[String]): Long = {
+    val acc = new Array[Int](64)
+    val it = tokens.iterator
+    while (it.hasNext) {
+      val h = md5Long(it.next())
+      var j = 0
+      while (j < 64) {
+        if (((h >>> j) & 1L) == 1L) acc(j) += 1 else acc(j) -= 1
+        j += 1
+      }
+    }
+    var out = 0L; var j = 0
+    while (j < 64) { if (acc(j) > 0) out |= (1L << j); j += 1 }
+    out
+  }
+
+  /** SimHash LSH keys, Manku et al. (WWW'07) block-combination scheme: the
+    * 64 bits are cut into `nBlocks` near-equal contiguous blocks; for every
+    * (nBlocks - maxHamming)-subset of blocks, emit one key made of the
+    * subset id + those blocks' values. Any two signatures within Hamming
+    * distance ≤ maxHamming differ in ≤ maxHamming blocks (pigeonhole), so
+    * they agree on at least one emitted subset → recall 1.0 for the
+    * candidate filter.
+    *
+    * Bucket math at scale (why not 4×16-bit chunks): a key here carries
+    * 64·(nBlocks-maxHamming)/nBlocks signature bits — defaults (7, 3) give
+    * ~36-bit keys ⇒ ~7·10¹⁰ buckets per subset family, so at 10⁹ docs the
+    * expected bucket size stays ~0.01 and per-bucket self-joins never go
+    * quadratic. The cost is C(nBlocks, nBlocks-maxHamming) = 35 keys/doc —
+    * linear replication, the standard trade. 4 chunks of 16 bits (the
+    * round-1 scheme) has only 2¹⁶ buckets per chunk ⇒ ~15k-doc buckets at
+    * 10⁹ docs ⇒ quadratic blowup. */
+  def simhashBandKeys(sig: Long, nBlocks: Int = 7, maxHamming: Int = 3): Seq[String] = {
+    require(nBlocks > maxHamming && nBlocks <= 64)
+    val bounds = Array.tabulate(nBlocks + 1)(i => i * 64 / nBlocks)
+    val blocks = Array.tabulate(nBlocks) { i =>
+      val lo = bounds(i); val width = bounds(i + 1) - lo
+      val mask = if (width == 64) -1L else (1L << width) - 1L
+      (sig >>> lo) & mask
+    }
+    (0 until nBlocks).combinations(nBlocks - maxHamming).map { combo =>
+      combo.mkString(",") + "|" + combo.map(i => blocks(i).toHexString).mkString(":")
+    }.toSeq
+  }
+
   /** Deterministic unit-ish hash embedding of a token: `dim` values in
     * [-1, 1] derived from splitmix64 of the token hash. Used as the
     * context-embedding source where no trained embeddings exist (the

@@ -98,9 +98,12 @@ object Blocking {
     // band keys are often IDENTICAL member sets (e.g. every mention of one
     // hot surface form shares all its keys) — pairing each copy would
     // materialize the same pair set 18x. Collapse keys with identical
-    // (size, member-set hash) to one representative key. 122-bit
-    // signature → collisions are negligible; pair-set equality with the
-    // naive join is property-tested.
+    // (size, member-set hash) to one representative key. The signature is
+    // (count, two independent sums of per-id hashes mod ~2³⁰ primes) —
+    // ~60 bits of hash entropy plus the exact size, so two same-size
+    // member sets collide with p ≈ 2⁻⁶⁰: negligible at any realistic
+    // block-key count. Pair-set equality with the naive join is
+    // property-tested (BlockingSpec).
     val sigs = keyed.groupBy("block_key").agg(
       count(lit(1)).as("key_n"),
       sum(pmod(xxhash64(col("mid")), lit(1000000007L))).as("sig1"),
@@ -113,9 +116,12 @@ object Blocking {
 
     // Three regime branches + hub extraction each consume `rows` — persist
     // it (it is the purged key table, far smaller than the pair output) so
-    // the keyed⋈repKeys join doesn't re-execute per branch.
-    val rows = keyed.join(repKeys, Seq("block_key"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the keyed⋈repKeys join doesn't re-execute per branch. Registered
+    // with CacheTracker: the pipeline unpersists it once the stage output
+    // is materialized.
+    val rows = graft.CacheTracker.register(
+      keyed.join(repKeys, Seq("block_key"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
     val cold = rows.where(col("key_n") <= tau).select(col("block_key"), col("mid"))
     val coldPairs = cold.as("L").join(cold.as("R"), Seq("block_key"))

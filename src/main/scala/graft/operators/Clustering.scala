@@ -1,9 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 
 /** Transitive clustering: connected components over the match-edge frame
   * via alternating large-star / small-star rounds (Kiveris et al.,
@@ -57,31 +55,34 @@ object Clustering {
   }
 
   /** Large-star: connect every neighbor v > u to min(N(u) ∪ {u}).
-    * Implemented over the symmetrized edge list with a single window
-    * (one shuffle) instead of groupBy+join (two). */
+    *
+    * Per-node min via groupBy+join, NOT a window: `min` aggregates
+    * map-side (partial agg), so a 10⁸-degree hub ships one partial row
+    * per input partition instead of funneling every edge through one
+    * window task, and the join back is AQE-skew-splittable — windows are
+    * not. */
   private[operators] def largeStar(edges: DataFrame): DataFrame = {
     val sym = edges.select(col("src"), col("dst"))
       .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
-    val w = Window.partitionBy("src")
-    sym
-      .withColumn("m", least(min(col("dst")).over(w), col("src")))
+    val mins = sym.groupBy("src").agg(min(col("dst")).as("mn"))
+    sym.join(mins, Seq("src"))
       .where(col("dst") > col("src"))
-      .select(col("dst").as("src"), col("m").as("dst"))
+      .select(col("dst").as("src"), least(col("mn"), col("src")).as("dst"))
       .distinct()
   }
 
   /** Small-star: for each u with parent pointers dst < u, connect all of
     * {u} ∪ N_small(u) to the minimum. Input/output in canonical dst<src
-    * form (which largeStar guarantees). */
+    * form (which largeStar guarantees). Same groupBy+join shape as
+    * largeStar for the same skew reason. */
   private[operators] def smallStar(edges: DataFrame): DataFrame = {
-    val w = Window.partitionBy("src")
-    val withMin = edges.withColumn("m", min(col("dst")).over(w))
+    val mins = edges.groupBy("src").agg(min(col("dst")).as("m"))
     // neighbors (except the min itself) re-point to the min…
-    val nbrs = withMin
+    val nbrs = edges.join(mins, Seq("src"))
       .where(col("dst") =!= col("m"))
       .select(col("dst").as("src"), col("m").as("dst"))
-    // …and u points to the min.
-    val self = withMin.select(col("src"), col("m").as("dst")).distinct()
+    // …and u points to the min (mins is already one row per u).
+    val self = mins.select(col("src"), col("m").as("dst"))
     nbrs.unionAll(self).distinct()
   }
 

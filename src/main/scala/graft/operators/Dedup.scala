@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.{MinHash, TextFns}
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Deduplication family for large-scale text corpora — the training-data-
@@ -27,23 +27,45 @@ object Dedup {
     withSig.join(groups, "sig").select("id", "rep_id", "group_size")
   }
 
-  /** Word n-gram shingle set of a text, sorted distinct. */
+  /** Word n-gram shingle set of a text, sorted distinct. Texts with fewer
+    * than `n` tokens have NO shingles (empty set → excluded from near-dup
+    * pairing), matching the positional n-gram join a SQL oracle does. */
   def shingles(text: String, n: Int): Seq[String] = {
     val toks = TextFns.TokenPattern.r.findAllIn(text.toLowerCase).toArray
-    if (toks.length < n) Seq(toks.mkString(" "))
+    if (toks.length < n) Seq.empty
     else (0 to toks.length - n).map(i => toks.slice(i, i + n).mkString(" ")).distinct.sorted
+  }
+
+  /** Smallest LSH row count r (a divisor of k, from 16 down) whose banding
+    * detects a pair AT the threshold with P = 1-(1-t^r)^(k/r) ≥ `minP`.
+    * Larger r ⇒ fewer false candidates but a later S-curve knee; this picks
+    * the cheapest banding that is still recall-sound at the verify
+    * threshold (round-1 advice: 16×8 banding caught a j=0.6 pair with
+    * P≈0.24 — unsound vs an exact oracle). */
+  def autoBanding(k: Int, threshold: Double,
+                  minP: Double = 0.9999): (Int, Int) = {
+    val choices = Seq(16, 8, 4, 2, 1).filter(k % _ == 0)
+    val r = choices.find { r =>
+      val b = k / r
+      1.0 - math.pow(1.0 - math.pow(threshold, r), b) >= minP
+    }.getOrElse(1)
+    (k / r, r)
   }
 
   /** MinHash-LSH near-duplicate pairs, verified by true shingle-set
     * Jaccard ≥ `threshold`. Output: (a_id, b_id, jaccard rounded 4dp),
-    * a_id < b_id. LSH (bands×rows) is the candidate filter; the verify
-    * join makes the result exact-on-candidates, and band parameters are
-    * sized so P(miss) at the threshold is negligible (e.g. 16×8 at
-    * j≥0.9 → miss ≈ 1e-9). */
+    * a_id < b_id. LSH banding is the candidate filter; the verify join
+    * makes the result exact-on-candidates. Band parameters default to
+    * [[autoBanding]] — the banding that guarantees P(miss) ≤ 1e-4 at the
+    * verify threshold itself, so the output matches an exact all-pairs
+    * oracle (pass bands/rows explicitly to trade recall for fewer
+    * candidates at scale, e.g. 32×4 for a 0.8 threshold). */
   def minhashPairs(df: DataFrame, idCol: String, textCol: String,
                    shingleN: Int = 3, k: Int = 128,
-                   bands: Int = 16, rows: Int = 8,
-                   threshold: Double = 0.6): DataFrame = {
+                   threshold: Double = 0.6,
+                   bands: Int = 0, rows: Int = 0): DataFrame = {
+    val (bandsEff, rowsEff) =
+      if (bands > 0 && rows > 0) (bands, rows) else autoBanding(k, threshold)
     val spark = df.sparkSession
     import spark.implicits._
     val docs = df.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
@@ -54,8 +76,11 @@ object Dedup {
 
     val bandKeys = docs.flatMap { case (id, text) =>
       val sh = shingles(text, shingleN)
-      val sig = MinHash.signature(sh, k)
-      MinHash.bandKeys(sig, bands, rows).map(bk => (bk, id))
+      if (sh.isEmpty) Iterator.empty
+      else {
+        val sig = MinHash.signature(sh, k)
+        MinHash.bandKeys(sig, bandsEff, rowsEff).iterator.map(bk => (bk, id))
+      }
     }.toDF("band_key", "id")
 
     val cand = bandKeys.as("L").join(bandKeys.as("R"), Seq("band_key"))
@@ -73,25 +98,33 @@ object Dedup {
       .select(col("a_id"), col("b_id"), col("jaccard"))
   }
 
-  /** SimHash near-duplicate pairs: 64-bit simhash over word shingles,
-    * candidates from 4×16-bit chunk equality (any pair within Hamming
-    * distance ≤ 3 shares at least one exact chunk — pigeonhole), verified
-    * by exact Hamming distance ≤ `maxHamming`. */
+  /** SimHash near-duplicate pairs: 64-bit Charikar simhash over unigram
+    * token occurrences (md5 feature hash — DuckDB-reproducible, see
+    * [[MinHash.simHashMd5]]), candidates from Manku block-combination
+    * banding (recall 1.0 for Hamming ≤ maxHamming by pigeonhole), verified
+    * by exact Hamming distance. Output is therefore exactly the all-pairs
+    * set at distance ≤ `maxHamming` — oracled by q21. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-                   shingleN: Int = 3, maxHamming: Int = 3): DataFrame = {
-    require(maxHamming <= 3, "4-chunk banding only guarantees recall for distance <= 3")
+                   maxHamming: Int = 3, nBlocks: Int = 7): DataFrame = {
+    require(nBlocks > maxHamming,
+      "need more blocks than the Hamming budget for pigeonhole recall")
     val spark = df.sparkSession
     import spark.implicits._
+    // zero-token docs are excluded (their simhash would be the degenerate
+    // all-zero signature; a SQL oracle's unnest-join excludes them too)
     val sigs = df.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
       .as[(Long, String)]
-      .map { case (id, text) => (id, MinHash.simHash(shingles(text, shingleN))) }
+      .flatMap { case (id, text) =>
+        val toks = TextFns.TokenPattern.r.findAllIn(text.toLowerCase).toSeq
+        if (toks.isEmpty) None else Some((id, MinHash.simHashMd5(toks)))
+      }
       .toDF("id", "sim")
 
-    val chunks = sigs.as[(Long, Long)].flatMap { case (id, sim) =>
-      (0 until 4).map(c => (s"$c:${(sim >>> (c * 16)) & 0xffffL}", id, sim))
-    }.toDF("chunk_key", "id", "sim")
+    val keys = sigs.as[(Long, Long)].flatMap { case (id, sim) =>
+      MinHash.simhashBandKeys(sim, nBlocks, maxHamming).map(k => (k, id, sim))
+    }.toDF("band_key", "id", "sim")
 
-    chunks.as("L").join(chunks.as("R"), Seq("chunk_key"))
+    keys.as("L").join(keys.as("R"), Seq("band_key"))
       .where(col("L.id") < col("R.id"))
       .select(col("L.id").as("a_id"), col("R.id").as("b_id"),
               col("L.sim").as("sim_a"), col("R.sim").as("sim_b"))

@@ -49,6 +49,16 @@ for name in sorted(set(list(oracle.keys()) + [os.path.basename(p) for p in glob.
     if sorted(scols) != sorted(ocols):
         print(f"{name}: COLUMN MISMATCH spark={sorted(scols)} oracle={sorted(ocols)}")
         fails += 1; continue
+    # Type-strict like the driver's hash gate: a DuckDB HUGEINT sum vs a
+    # Spark BIGINT hashes differently even when values match (round-1
+    # q04/q06/q24 bug class). duckdb exposes the type name in description.
+    stypes = {d[0]: str(d[1]) for d in spark_rel.description}
+    otypes = {d[0]: str(d[1]) for d in orel.description}
+    tdiff = [c for c in stypes if stypes[c] != otypes.get(c)]
+    if tdiff:
+        print(f"{name}: TYPE MISMATCH " +
+              ", ".join(f"{c}: spark={stypes[c]} oracle={otypes.get(c)}" for c in tdiff))
+        fails += 1; continue
     a, b = canon(srows, scols), canon(orows, ocols)
     if len(a) != len(b):
         print(f"{name}: ROWCOUNT MISMATCH spark={len(a)} oracle={len(b)}")
