@@ -111,11 +111,17 @@ object SparkEntry {
         .orderBy(desc("cnt"), asc("bg"))
         .limit(20)),
 
+    // String-similarity demos with the scale pattern a real vocabulary
+    // needs: prefix blocking (equi-join on first char) + a length band,
+    // NOT a cartesian product — at a 10⁶-term vocab all-pairs is 10¹²
+    // rows; blocked candidate generation is the pattern worth copying.
     "q10_levenshtein" -> ((s, dir) => {
       val toks = docsWithTokens(s, dir)
         .select(explode(col("toks")).as("tok")).distinct()
-      toks.as("A").crossJoin(toks.as("B"))
-        .where(col("A.tok") < col("B.tok"))
+        .withColumn("pfx", substring(col("tok"), 1, 1))
+      toks.as("A").join(toks.as("B"),
+          col("A.pfx") === col("B.pfx") && col("A.tok") < col("B.tok") &&
+          abs(length(col("A.tok")) - length(col("B.tok"))) <= 2)
         .select(col("A.tok").as("a"), col("B.tok").as("b"),
                 levenshtein(col("A.tok"), col("B.tok")).cast("bigint").as("dist"))
         .orderBy("a", "b")
@@ -124,8 +130,10 @@ object SparkEntry {
     "q11_jaro_winkler" -> ((s, dir) => {
       val toks = docsWithTokens(s, dir)
         .select(explode(col("toks")).as("tok")).distinct()
-      toks.as("A").crossJoin(toks.as("B"))
-        .where(col("A.tok") < col("B.tok"))
+        .withColumn("pfx", substring(col("tok"), 1, 1))
+      toks.as("A").join(toks.as("B"),
+          col("A.pfx") === col("B.pfx") && col("A.tok") < col("B.tok") &&
+          abs(length(col("A.tok")) - length(col("B.tok"))) <= 2)
         .select(col("A.tok").as("a"), col("B.tok").as("b"),
                 round(GraftFunctions.jaroWinkler(col("A.tok"), col("B.tok")), 4).as("jw"))
         .orderBy("a", "b")
@@ -261,7 +269,14 @@ object SparkEntry {
 
     // ---- prior-dictionary ETL (REL wikipedia_yago_freq analogue) ----
 
+    // Prior-dictionary ETL, skew-safe shape (SURVEY §2.4's own
+    // prescription): per-mention totals via groupBy+sum (map-side partial
+    // agg) + join back, and the top-K cap via the partial-aggregating
+    // TopKAgg — NO Window over the (Zipf-hot) mention key anywhere, so a
+    // mention with 10⁸ anchors ships one partial row per partition instead
+    // of pinning its whole partition to one task.
     "q28_prior_etl" -> ((s, dir) => {
+      import s.implicits._
       val anchors = docsWithTokens(s, dir)
         .withColumn("pairs",
           when(size(col("toks")) >= 2,
@@ -270,13 +285,21 @@ object SparkEntry {
         .select(explode(col("pairs")).as("p"))
         .select(col("p.mention"), col("p.entity"))
       val counted = anchors.groupBy("mention", "entity").agg(count(lit(1)).as("cnt"))
-      val withP = counted
-        .withColumn("total", sum("cnt").over(Window.partitionBy("mention")))
+      val totals = counted.groupBy("mention").agg(sum("cnt").as("total"))
+      val withP = counted.join(totals, Seq("mention"))
         .withColumn("p", round(col("cnt").cast("double") / col("total"), 6))
-      val w = Window.partitionBy("mention").orderBy(desc("p"), asc("entity"))
-      withP.withColumn("rank", row_number().over(w).cast("bigint"))
-        .where(col("rank") <= 3)
-        .select("mention", "entity", "p", "rank")
+      // top-3 by (p desc, entity asc) — TopKAgg's exact ordering; p is
+      // rounded BEFORE ranking (both engines), keeping ties identical
+      val topK = new graft.functions.TopKAgg(3).toColumn
+      withP.select(col("mention"), col("p"), col("entity"))
+        .as[(String, Double, String)]
+        .groupByKey(_._1)
+        .mapValues(t => (t._2, t._3))
+        .agg(topK.name("top"))
+        .toDF("mention", "top")
+        .select(col("mention"), posexplode(col("top")))
+        .select(col("mention"), col("col._2").as("entity"), col("col._1").as("p"),
+                (col("pos") + 1).cast("bigint").as("rank"))
         .orderBy("mention", "rank")
     }),
   )
@@ -384,14 +407,20 @@ object SparkEntry {
         |  SELECT DISTINCT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
         |  FROM documents)
         |SELECT a.tok AS a, b.tok AS b, CAST(levenshtein(a.tok, b.tok) AS BIGINT) AS dist
-        |FROM toks a, toks b WHERE a.tok < b.tok ORDER BY a, b""".stripMargin,
+        |FROM toks a, toks b
+        |WHERE substr(a.tok, 1, 1) = substr(b.tok, 1, 1) AND a.tok < b.tok
+        |  AND abs(length(a.tok) - length(b.tok)) <= 2
+        |ORDER BY a, b""".stripMargin,
 
     "q11_jaro_winkler" ->
       """WITH toks AS (
         |  SELECT DISTINCT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
         |  FROM documents)
         |SELECT a.tok AS a, b.tok AS b, round(jaro_winkler_similarity(a.tok, b.tok), 4) AS jw
-        |FROM toks a, toks b WHERE a.tok < b.tok ORDER BY a, b""".stripMargin,
+        |FROM toks a, toks b
+        |WHERE substr(a.tok, 1, 1) = substr(b.tok, 1, 1) AND a.tok < b.tok
+        |  AND abs(length(a.tok) - length(b.tok)) <= 2
+        |ORDER BY a, b""".stripMargin,
 
     "q12_mentions" ->
       s"""WITH ${QueryLib.mentionsSql}
