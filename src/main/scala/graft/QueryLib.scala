@@ -83,6 +83,14 @@ object QueryLib {
     Pipeline.mentions(turnsDs(spark, sfDir), dictBc, vecsBc)
   }
 
+  /** Coref-inherited mentions (substring candidate inheritance) over the
+    * same transcripts + detected mentions. */
+  def corefMentions(spark: SparkSession, sfDir: String): Dataset[Mention] = {
+    val dictBc = spark.sparkContext.broadcast(bigramDict)
+    val vecsBc = spark.sparkContext.broadcast(Map.empty[String, Array[Float]])
+    Coref.inherited(turnsDs(spark, sfDir), mentions(spark, sfDir), dictBc, vecsBc)
+  }
+
   private def sqlList(xs: Seq[String]): String =
     xs.map(x => s"'$x'").mkString("(", ", ", ")")
 

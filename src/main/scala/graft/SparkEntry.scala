@@ -302,6 +302,45 @@ object SparkEntry {
                 (col("pos") + 1).cast("bigint").as("rank"))
         .orderBy("mention", "rank")
     }),
+
+    // ---- unicode folding / coref inheritance / multimodal columns ----
+
+    // Accent-robust tokenization: accent-ify the corpus with a reversible
+    // SQL transform, then tokenize through the NFKD fold — counts and the
+    // folded token stream must equal DuckDB's strip_accents(lower()).
+    "q29_unicode_fold" -> ((s, dir) => {
+      val accented = docs(s, dir)
+        .withColumn("atext", translate(col("text"), "ae", "äé"))
+      accented
+        .withColumn("ftoks", TextFns.foldedTokens(col("atext")))
+        .select(col("doc_id"),
+                size(col("ftoks")).cast("bigint").as("n_folded"),
+                md5(concat_ws(" ", col("ftoks"))).as("folded_sig"))
+        .orderBy("doc_id")
+    }),
+
+    // Coref candidate inheritance (REL with_coref analogue): uncovered
+    // tokens matching a word of an earlier same-conversation mention
+    // inherit its candidates; nearest preceding mention wins.
+    "q30_coref" -> ((s, dir) =>
+      corefMentions(s, dir).toDF()
+        .select(col("conv_id"), col("turn_idx").cast("bigint"),
+                col("begin").cast("bigint").as("bpos"), col("norm").as("bg"))
+        .orderBy("conv_id", "turn_idx", "bpos")),
+
+    // Multimodal payload columns: binary payload + typed meta struct;
+    // relational ops touch only (sha, n_bytes, dims), never the blob.
+    "q31_multimodal" -> ((s, dir) => {
+      val m = operators.MultiModal.withMeta(
+        operators.MultiModal.withPayload(docs(s, dir)))
+      m.groupBy("modality")
+        .agg(count(lit(1)).as("n_items"),
+             countDistinct(col("meta.sha")).as("n_uniq"),
+             sum(col("meta.n_bytes")).as("total_bytes"),
+             max(col("meta.width")).cast("bigint").as("max_w"),
+             max(col("meta.height")).cast("bigint").as("max_h"))
+        .orderBy("modality")
+    }),
   )
 
   /** Doc-similarity edges: same conversation (source), turn distance ≤ 3,
@@ -617,5 +656,51 @@ object SparkEntry {
         |         CAST(row_number() OVER (PARTITION BY mention ORDER BY p DESC, entity) AS BIGINT) AS rank
         |  FROM withp)
         |WHERE rank <= 3 ORDER BY mention, rank""".stripMargin,
+
+    "q29_unicode_fold" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(strip_accents(lower(translate(text, 'ae', 'äé'))), '[a-z0-9]+')) AS BIGINT) AS n_folded,
+        |  md5(array_to_string(regexp_extract_all(strip_accents(lower(translate(text, 'ae', 'äé'))), '[a-z0-9]+'), ' ')) AS folded_sig
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Coref inheritance over the bigram-dictionary mentions: a token at an
+    // uncovered position matching either word of a strictly-earlier
+    // same-conversation mention inherits that mention's key; nearest
+    // preceding (turn desc, bpos desc), then bg asc — mirroring
+    // Coref.inheritedOfConv exactly.
+    "q30_coref" ->
+      s"""WITH ${QueryLib.mentionsSql},
+         |cov AS (
+         |  SELECT conv_id, turn_idx, bpos AS p FROM mentions
+         |  UNION ALL
+         |  SELECT conv_id, turn_idx, bpos + 1 FROM mentions),
+         |tok0 AS (SELECT conv_id, turn_idx, tok, CAST(pos - 1 AS BIGINT) AS p FROM tok),
+         |inh AS (
+         |  SELECT t.conv_id, t.turn_idx, t.p, m.bg,
+         |         row_number() OVER (PARTITION BY t.conv_id, t.turn_idx, t.p
+         |                            ORDER BY m.turn_idx DESC, m.bpos DESC, m.bg ASC) AS rn
+         |  FROM tok0 t
+         |  JOIN mentions m ON m.conv_id = t.conv_id AND m.turn_idx < t.turn_idx
+         |    AND (t.tok = split_part(m.bg, ' ', 1) OR t.tok = split_part(m.bg, ' ', 2))
+         |  WHERE NOT EXISTS (SELECT 1 FROM cov c
+         |                    WHERE c.conv_id = t.conv_id
+         |                      AND c.turn_idx = t.turn_idx AND c.p = t.p))
+         |SELECT conv_id, turn_idx, p AS bpos, bg FROM inh WHERE rn = 1
+         |ORDER BY conv_id, turn_idx, bpos""".stripMargin,
+
+    "q31_multimodal" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    CASE CAST((doc_id + length(source)) % 3 AS INT)
+        |      WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'text' END AS modality,
+        |    md5(text) AS sha,
+        |    octet_length(encode(text)) AS n_bytes,
+        |    ('0x' || substr(md5(text), 1, 4))::INT % 640 AS w,
+        |    ('0x' || substr(md5(text), 5, 4))::INT % 480 AS h
+        |  FROM documents)
+        |SELECT modality, count(*) AS n_items, count(DISTINCT sha) AS n_uniq,
+        |       CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+        |       CAST(max(w) AS BIGINT) AS max_w, CAST(max(h) AS BIGINT) AS max_h
+        |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

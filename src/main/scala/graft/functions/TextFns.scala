@@ -15,9 +15,32 @@ object TextFns {
 
   val TokenPattern = "[a-z0-9]+"
 
+  private val CombiningMarks = java.util.regex.Pattern.compile("\\p{M}+")
+
+  /** Unicode fold (Scala side; column side = GraftFunctions.unicodeFold):
+    * NFKD decomposition, strip combining marks, lowercase. Matches DuckDB
+    * `strip_accents(lower(x))` for Latin accents — "Zürich"→"zurich". */
+  def foldUnicode(s: String): String = {
+    // fast path: ASCII needs no normalizer pass
+    var i = 0; var ascii = true
+    while (ascii && i < s.length) { if (s.charAt(i) >= 0x80) ascii = false; i += 1 }
+    if (ascii) s.toLowerCase
+    else CombiningMarks.matcher(
+      java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFKD))
+      .replaceAll("").toLowerCase
+  }
+
   /** Lowercased word tokens as ArrayType(StringType). */
   def tokens(text: Column): Column =
     regexp_extract_all(lower(text), lit(TokenPattern), lit(0))
+
+  /** Unicode-folded word tokens: accent-stripped, NFKD-folded, lowercased
+    * before the same token regex — the tokenizer real multilingual corpora
+    * need (plain `tokens` deletes "café"/"Zürich" outright). */
+  def foldedTokens(text: Column): Column =
+    regexp_extract_all(
+      org.apache.spark.sql.graft.GraftFunctions.unicodeFold(text),
+      lit(TokenPattern), lit(0))
 
   /** Whitespace token count (cheap, no array materialization). */
   def wsTokenCount(text: Column): Column =

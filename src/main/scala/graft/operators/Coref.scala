@@ -1,0 +1,139 @@
+package graft.operators
+
+import graft.functions.MinHash
+import graft.model._
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.Dataset
+
+/** Coreference-style candidate inheritance within a conversation — the
+  * analogue of REL's `with_coref` / crel personal-entity resolution
+  * (`src/REL/mention_detection.py::MentionDetectionBase.with_coref`,
+  * `src/REL/crel/conv_el.py`, SURVEY.md §2.3 [M]): a surface that is a
+  * word-boundary substring of an earlier mention in the same document
+  * inherits that mention's candidate list, so abbreviated follow-up
+  * surfaces ("Obama" after "Barack Obama") link even when absent from the
+  * p(e|m) dictionary.
+  *
+  * Our adaptation to transcripts: for each turn, every UNCOVERED token
+  * n-gram (not part of a detected mention, not itself a dictionary hit)
+  * that equals a contiguous token run of a mention surface detected in an
+  * EARLIER turn of the same conversation inherits that mention's
+  * candidates and norm. Deterministic rule when several earlier mentions
+  * match: nearest preceding wins (max (turn_idx, begin)), then smallest
+  * norm. Longest n-grams first, leftmost-first (same greedy discipline as
+  * detection). Inheritance does not chain (inherited mentions are not
+  * inheritance sources), matching REL's single-hop substring rule.
+  *
+  * Scale shape: one shuffle of turns + one of detected mentions, both
+  * keyed by conv_id; conversations are bounded (tens of turns), so the
+  * per-group work is O(turn tokens × seen mentions) with no skew exposure
+  * — there is no such thing as a hot conv_id at 10¹²-turn scale, only
+  * more conversations.
+  */
+object Coref {
+
+  /** Inherited mentions only (union with the detected set downstream). */
+  def inherited(turns: Dataset[Turn], mentions: Dataset[Mention],
+                dictBc: Broadcast[MentionDetect.Dict],
+                entityVecBc: Broadcast[Map[String, Array[Float]]]): Dataset[Mention] = {
+    val spark = turns.sparkSession
+    import spark.implicits._
+    turns.groupByKey(_.conv_id)
+      .cogroup(mentions.groupByKey(_.conv_id)) { (convId, ts, ms) =>
+        val dict = dictBc.value
+        val ev: String => Array[Float] =
+          e => entityVecBc.value.getOrElse(e, Array.empty[Float])
+        inheritedOfConv(convId, ts.toArray, ms.toArray, dict, ev).iterator
+      }
+  }
+
+  /** Pure per-conversation logic (unit-testable without Spark). */
+  def inheritedOfConv(convId: String, ts: Array[Turn], ms: Array[Mention],
+                      dict: MentionDetect.Dict,
+                      entityVec: String => Array[Float]): Seq[Mention] = {
+    val turnsSorted = ts.sortBy(_.turn_idx)
+    val msSorted = ms.sortBy(m => (m.turn_idx, m.begin))
+    val out = scala.collection.mutable.ListBuffer.empty[Mention]
+    // mentions of earlier turns, most recent first; token forms lowercased
+    var seenRev = List.empty[(Mention, Array[String])]
+    var mi = 0
+    turnsSorted.foreach { t =>
+      // longest inheritable n-gram = longest seen surface minus one token
+      val maxN = if (seenRev.isEmpty) 0
+                 else seenRev.iterator.map(_._2.length).max - 1
+      val toks = MentionDetect.tokenizeCased(if (t.text == null) "" else t.text)
+      val lowerToks = toks.map(_.toLowerCase)
+      // positions covered by detected mentions of THIS turn
+      val taken = new Array[Boolean](toks.length)
+      var j = mi
+      while (j < msSorted.length && msSorted(j).turn_idx == t.turn_idx) {
+        var p = msSorted(j).begin
+        while (p < math.min(msSorted(j).end, toks.length)) { taken(p) = true; p += 1 }
+        j += 1
+      }
+      if (maxN > 0) {
+        var size = math.min(maxN, toks.length)
+        while (size >= 1) {
+          var i = 0
+          while (i + size <= toks.length) {
+            var free = true
+            var p = i
+            while (p < i + size) { if (taken(p)) free = false; p += 1 }
+            if (free) {
+              val gramLower = lowerToks.slice(i, i + size)
+              // not itself a dictionary hit (those are detection's job)
+              val rawSurface = toks.slice(i, i + size).mkString(" ")
+              if (MentionDetect.normalizeMention(rawSurface, dict).isEmpty) {
+                seenRev.find { case (_, surfToks) =>
+                  containsRun(surfToks, gramLower)
+                } match {
+                  case Some((src, _)) =>
+                    val ctxToks = MentionDetect.contextTokens(toks, i, i + size)
+                      .map(_.toLowerCase)
+                    val ctx = MinHash.meanEmbedding(ctxToks, MentionDetect.CtxDim)
+                    val (resolved, score) =
+                      MentionDetect.resolve(src.candidates, ctx, entityVec)
+                    out += Mention(Ids.mentionId(convId, t.turn_idx, i),
+                                   convId, t.turn_idx, i, i + size, rawSurface,
+                                   src.norm, src.candidates, ctx, resolved, score)
+                    p = i
+                    while (p < i + size) { taken(p) = true; p += 1 }
+                    i += size - 1
+                  case None =>
+                }
+              }
+            }
+            i += 1
+          }
+          size -= 1
+        }
+      }
+      // this turn's detected mentions become inheritance sources for later
+      // turns — prepended so the NEAREST preceding mention is found first
+      while (mi < msSorted.length && msSorted(mi).turn_idx == t.turn_idx) {
+        val m = msSorted(mi)
+        seenRev = (m, m.surface.toLowerCase.split(" ")) :: seenRev
+        mi += 1
+      }
+      // deterministic nearest-first order: (turn_idx desc, begin desc, norm asc)
+      seenRev = seenRev.sortBy { case (m, _) => (-m.turn_idx, -m.begin, m.norm) }
+    }
+    out.toList
+  }
+
+  /** True iff `run` occurs as a contiguous sub-array of `hay` AND is
+    * shorter than hay (a full match is the mention itself, not a
+    * substring). */
+  def containsRun(hay: Array[String], run: Array[String]): Boolean = {
+    if (run.length >= hay.length) return false
+    var i = 0
+    while (i + run.length <= hay.length) {
+      var k = 0
+      var ok = true
+      while (ok && k < run.length) { if (hay(i + k) != run(k)) ok = false; k += 1 }
+      if (ok) return true
+      i += 1
+    }
+    false
+  }
+}

@@ -29,9 +29,33 @@ object MentionDetect {
   val CtxDim = 32           // hash-embedding dim for context vectors
 
   private val TokenRe = java.util.regex.Pattern.compile(TextFns.TokenPattern)
+  private val CasedTokenRe = java.util.regex.Pattern.compile("[A-Za-z0-9]+")
+  private val CombiningMarks = java.util.regex.Pattern.compile("\\p{M}+")
 
   def tokenize(text: String): Array[String] = {
-    val m = TokenRe.matcher(text.toLowerCase)
+    val m = TokenRe.matcher(TextFns.foldUnicode(text))
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    while (m.find()) out += m.group()
+    out.toArray
+  }
+
+  /** Accent-fold WITHOUT lowercasing — keeps case for the normalization
+    * cascade ("Zürich" → "Zurich"). */
+  def foldKeepCase(s: String): String = {
+    var i = 0; var ascii = true
+    while (ascii && i < s.length) { if (s.charAt(i) >= 0x80) ascii = false; i += 1 }
+    if (ascii) s
+    else CombiningMarks.matcher(
+      java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFKD))
+      .replaceAll("")
+  }
+
+  /** Case-preserving tokens (accent-folded) — the detection path's input,
+    * so the exact/recased/lower cascade can fire on real cased text
+    * (round-1 verdict: lowercasing at tokenize made the cascade dead
+    * code). On all-lowercase corpora this is identical to `tokenize`. */
+  def tokenizeCased(text: String): Array[String] = {
+    val m = CasedTokenRe.matcher(foldKeepCase(text))
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
     while (m.find()) out += m.group()
     out.toArray
@@ -45,10 +69,12 @@ object MentionDetect {
   private val indexCache =
     new java.util.concurrent.ConcurrentHashMap[Long, Map[String, Int]]()
 
+  /** Masks are keyed by the LOWERCASED first token so a probe works for
+    * raw cased input; dictionary keys themselves may be cased. */
   def firstTokenMasks(dict: Dict): Map[String, Int] =
     dict.keysIterator.foldLeft(Map.empty[String, Int]) { (acc, surface) =>
       val sp = surface.indexOf(' ')
-      val first = if (sp < 0) surface else surface.substring(0, sp)
+      val first = (if (sp < 0) surface else surface.substring(0, sp)).toLowerCase
       val n = surface.count(_ == ' ') + 1
       if (n > MaxNgram) acc
       else acc.updated(first, acc.getOrElse(first, 0) | (1 << (n - 1)))
@@ -63,6 +89,12 @@ object MentionDetect {
     * Our dictionary keys are lowercase, so for already-lower tokens this
     * is the identity — the cascade matters for raw (cased) surfaces. */
   def normalizeMention(raw: String, dict: Dict): Option[String] = {
+    // fast path for the hot detection loop: no uppercase → all three
+    // cascade forms coincide, one probe suffices
+    var hasUpper = false
+    var i = 0
+    while (!hasUpper && i < raw.length) { if (raw.charAt(i).isUpper) hasUpper = true; i += 1 }
+    if (!hasUpper) return if (dict.contains(raw)) Some(raw) else None
     val lower = raw.toLowerCase
     val recased = modifyUppercasePhrase(raw)
     val forms = Seq(raw, recased, lower).distinct
@@ -83,9 +115,16 @@ object MentionDetect {
   /** Detected span: token [begin, end) + dictionary entry. */
   final case class Span(begin: Int, end: Int, surface: String, entry: DictEntry)
 
-  /** Greedy longest-match detection over a token array. Deterministic:
-    * longer n-grams win, then leftmost-first. `masks` (first-token →
-    * length bitmask) prunes probes; pass None to build it ad hoc. */
+  /** Greedy longest-match detection over a token array (cased or lower).
+    * Deterministic: longer n-grams win, then leftmost-first. `masks`
+    * (lowercased-first-token → length bitmask) prunes probes; pass None to
+    * build it ad hoc.
+    *
+    * Each candidate surface is probed through the normalization cascade
+    * (exact → recased → lower, most-frequent wins) — REL
+    * preprocess_mention LIVE in the detection path, so cased input like
+    * "TABLE HASH" or "Table hash" hits a lowercase dictionary entry. For
+    * all-lowercase tokens the cascade degenerates to the plain probe. */
   def detect(tokens: Array[String], dict: Dict,
              masksOpt: Option[Map[String, Int]] = None): List[Span] = {
     val masks = masksOpt.getOrElse(firstTokenMasks(dict))
@@ -93,7 +132,7 @@ object MentionDetect {
     // per-position length mask, one hash probe per token
     val posMask = new Array[Int](n)
     var p = 0
-    while (p < n) { posMask(p) = masks.getOrElse(tokens(p), 0); p += 1 }
+    while (p < n) { posMask(p) = masks.getOrElse(tokens(p).toLowerCase, 0); p += 1 }
     val taken = new Array[Boolean](n)
     val out = scala.collection.mutable.ListBuffer.empty[Span]
     var size = math.min(MaxNgram, n)    // REL Cmns: longest n first
@@ -114,9 +153,9 @@ object MentionDetect {
                 while (k < i + size) { sb.append(' ').append(tokens(k)); k += 1 }
                 sb.toString
               }
-            dict.get(surface) match {
-              case Some(entry) =>
-                out += Span(i, i + size, surface, entry)
+            normalizeMention(surface, dict) match {
+              case Some(normKey) =>
+                out += Span(i, i + size, surface, dict(normKey))
                 j = i
                 while (j < i + size) { taken(j) = true; j += 1 }
                 i += size - 1
@@ -155,26 +194,50 @@ object MentionDetect {
     * (1.0 for a single candidate) — the analogue of REL's LR confidence.
     * Low-margin resolutions must not bridge clusters (Scoring gates the
     * ED-agreement feature on this margin). */
+  val KeepPrior = 4         // REL keep_p_e_m [M]
+  val KeepCtx = 3           // REL keep_ctx_ents [M]
+
+  /** REL-style prerank (SURVEY §2.4): from a (possibly ~100-entry)
+    * candidate list keep top-`KeepPrior` by prior ∪ top-`KeepCtx` by
+    * context cosine; final scoring runs on that ≤7-candidate pool only.
+    * Ties break by entity asc (deterministic). Lists already within the
+    * budget pass through untouched. Returns (candidate, ctxCos) pairs so
+    * the cosine isn't recomputed in the scoring loop. */
+  def prerank(cands: Array[Candidate], ctxD: Array[Double],
+                                 entityVec: String => Array[Float])
+      : Array[(Candidate, Double)] = {
+    def cosOf(c: Candidate): Double = {
+      val ev = entityVec(c.entity)
+      if (ev.isEmpty || ctxD.isEmpty) 0.0
+      else StringSim.cosine(ctxD, ev.map(_.toDouble))
+    }
+    if (cands.length <= KeepPrior + KeepCtx) cands.map(c => (c, cosOf(c)))
+    else {
+      val withCos = cands.map(c => (c, cosOf(c)))
+      val byPrior = withCos.sortBy { case (c, _) => (-c.prior, c.entity) }.take(KeepPrior)
+      val byCtx = withCos.sortBy { case (c, cos) => (-cos, c.entity) }.take(KeepCtx)
+      (byPrior ++ byCtx).distinctBy(_._1.entity)
+    }
+  }
+
   def resolve(cands: Array[Candidate], ctx: Array[Float],
               entityVec: String => Array[Float],
               wPrior: Double = 0.2, wCtx: Double = 0.8): (String, Double) = {
     if (cands.isEmpty) return ("", 0.0)
+    val ctxD = ctx.map(_.toDouble)
+    val pool = prerank(cands, ctxD, entityVec)
     var best = ""; var bestScore = Double.NegativeInfinity
     var second = Double.NegativeInfinity
-    val ctxD = ctx.map(_.toDouble)
     var i = 0
-    while (i < cands.length) {
-      val c = cands(i)
-      val ev = entityVec(c.entity)
-      val cos = if (ev.isEmpty || ctx.isEmpty) 0.0
-                else StringSim.cosine(ctxD, ev.map(_.toDouble))
+    while (i < pool.length) {
+      val (c, cos) = pool(i)
       val s = wPrior * c.prior + wCtx * cos
       if (s > bestScore || (s == bestScore && c.entity < best)) {
         second = bestScore; best = c.entity; bestScore = s
       } else if (s > second) second = s
       i += 1
     }
-    val margin = if (cands.length == 1) 1.0 else bestScore - second
+    val margin = if (pool.length == 1) 1.0 else bestScore - second
     (best, margin)
   }
 
@@ -183,9 +246,11 @@ object MentionDetect {
   def mentionsOfTurn(t: Turn, dict: Dict,
                      entityVec: String => Array[Float],
                      masks: Option[Map[String, Int]] = None): Seq[Mention] = {
-    val toks = tokenize(if (t.text == null) "" else t.text)
+    // cased tokens feed detection (cascade-live); context embeddings use
+    // the lowercased forms so vectors are case-stable
+    val toks = tokenizeCased(if (t.text == null) "" else t.text)
     detect(toks, dict, masks).map { s =>
-      val ctxToks = contextTokens(toks, s.begin, s.end)
+      val ctxToks = contextTokens(toks, s.begin, s.end).map(_.toLowerCase)
       val ctx = MinHash.meanEmbedding(ctxToks, CtxDim)
       val (resolved, score) = resolve(s.entry.candidates, ctx, entityVec)
       Mention(Ids.mentionId(t.conv_id, t.turn_idx, s.begin),

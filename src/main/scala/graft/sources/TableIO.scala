@@ -63,4 +63,84 @@ object TableIO {
       df
     }
   }
+
+  // ---- partition-level resume (north_rule "per-partition lineage") ----
+
+  private def partsDonePath(dir: String): Path = Paths.get(dir, "_parts_done.json")
+
+  /** Logical-partition values already completed for this fingerprint. */
+  def readPartsDone(dir: String, fingerprint: String): Set[String] = {
+    val p = partsDonePath(dir)
+    if (!Files.exists(p)) Set.empty
+    else {
+      val s = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+      val fp = """"fingerprint":"([^"]*)"""".r.findFirstMatchIn(s).map(_.group(1))
+      if (!fp.contains(fingerprint)) Set.empty
+      else """"v":"([^"]*)"""".r.findAllMatchIn(s).map(_.group(1)).toSet
+    }
+  }
+
+  private def writePartsDone(dir: String, fingerprint: String, vals: Set[String]): Unit = {
+    val body = vals.toSeq.sorted.map(v => s"""{"v":"$v"}""").mkString("[", ",", "]")
+    Files.createDirectories(Paths.get(dir))
+    Files.write(partsDonePath(dir),
+      s"""{"fingerprint":"$fingerprint","parts":$body}""".getBytes(StandardCharsets.UTF_8))
+  }
+
+  private def deleteRecursively(p: Path): Unit =
+    if (Files.exists(p)) {
+      Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => Files.delete(f))
+    }
+
+  /** Partition-level compute-or-resume: the stage output is hive-
+    * partitioned by `partCol` (a bounded-cardinality lineage column, e.g.
+    * a date or an input-shard id), written in BATCHES of partition values
+    * with the completed-partition lineage table updated after every batch
+    * commit. On re-run with the same fingerprint, already-completed
+    * partitions are REMOVED FROM THE COMPUTATION with a left-anti join
+    * against the lineage table before any downstream work runs — the
+    * north_rule's per-partition anti-join resume. A run killed between
+    * batches therefore redoes only unfinished partitions; a completed
+    * stage (manifest present) is a pure read. In production the same call
+    * writes Iceberg with overwrite-by-partition and the lineage table is
+    * the Iceberg partition manifest itself.
+    *
+    * `compute` must be deterministic per partition value (true for every
+    * stage here: detection/blocking/scoring are pure functions of the
+    * input rows). */
+  def stageByPartition(spark: SparkSession, name: String, dir: String,
+                       fingerprint: String, partCol: String,
+                       batchSize: Int = 8)
+                      (compute: => DataFrame): DataFrame = {
+    import spark.implicits._
+    if (readFingerprint(dir).contains(fingerprint))
+      return spark.read.format(format).load(s"$dir/data")
+
+    var done = readPartsDone(dir, fingerprint)
+    if (done.isEmpty) deleteRecursively(Paths.get(dir, "data")) // stale/other-fingerprint output
+
+    val df0 = compute
+    // anti-join resume: completed partitions never reach the stage's work
+    val df = if (done.isEmpty) df0
+             else df0.join(done.toSeq.toDF(partCol), Seq(partCol), "left_anti")
+    val dfP = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val missing = dfP.select(col(partCol).cast("string"))
+        .distinct().as[String].collect().sorted
+      missing.grouped(batchSize).foreach { batch =>
+        dfP.where(col(partCol).isInCollection(batch))
+          .write.format(format).mode("append").partitionBy(partCol)
+          .save(s"$dir/data")
+        done = done ++ batch
+        writePartsDone(dir, fingerprint, done) // lineage commit per batch
+      }
+    } finally dfP.unpersist()
+
+    val written = spark.read.format(format).load(s"$dir/data")
+    val counts = written.groupBy(spark_partition_id().as("pid")).count().collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toSeq.sortBy(_._1)
+    writeManifest(dir, Manifest(name, fingerprint, counts.map(_._2).sum, counts))
+    written
+  }
 }

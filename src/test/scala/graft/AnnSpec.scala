@@ -40,15 +40,35 @@ class AnnSpec extends SparkSpec {
     assert(got == expect)
   }
 
-  test("LSH top-k achieves reasonable recall vs brute force") {
-    val qs = emb.where(col("id") < 20)
-    val exact = Ann.bruteForceTopK(emb, qs, 5)
+  // The scale gate (round-1 verdict #7): 10^5 clustered vectors, recall@10
+  // >= 0.9 vs brute force AND candidate fraction < 1% — i.e. the banding
+  // is selective enough to survive 10^9 rows, not just accurate.
+  test("LSH top-k: recall>=0.9 @ k=10 with <1% candidates on 10^5 vectors") {
+    import graft.functions.MinHash
+    val dim = 64
+    val n = 100000
+    val perCluster = 100
+    val corpus = spark.range(n).as[Long].map { id =>
+      val cent = MinHash.hashEmbedding(s"cent${id / perCluster}", dim)
+      val noise = MinHash.hashEmbedding(s"n$id", dim)
+      val v = Array.tabulate(dim)(i => cent(i) + 0.25f * noise(i))
+      (id, v)
+    }.toDF("id", "vec").cache()
+    corpus.count()
+    val qs = corpus.where(col("id") % perCluster === 0 && col("id") < 10L * perCluster)
+
+    val exact = Ann.bruteForceTopK(corpus, qs, 10)
       .select("q_id", "id").as[(Long, Long)].collect().toSet
-    val approx = Ann.lshTopK(emb, qs, 5, bands = 16, rows = 2)
+    val cand = Ann.lshCandidates(corpus, qs, bands = 8, rows = 16, multiProbe = 1)
+    val nCand = cand.count()
+    val frac = nCand.toDouble / (10.0 * n)
+    val approx = Ann.lshTopK(corpus, qs, 10)
       .select("q_id", "id").as[(Long, Long)].collect().toSet
     val recall = (exact & approx).size.toDouble / exact.size
-    info(f"lsh recall@5 = $recall%.3f")
-    assert(recall >= 0.5, s"recall $recall")
+    info(f"lsh recall@10 = $recall%.3f, candidate fraction = $frac%.4f")
+    assert(recall >= 0.9, s"recall $recall")
+    assert(frac < 0.01, s"candidate fraction $frac")
+    corpus.unpersist()
   }
 
   test("LSH is deterministic") {

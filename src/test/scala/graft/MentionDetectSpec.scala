@@ -86,4 +86,58 @@ class MentionDetectSpec extends AnyFunSuite {
     val once = MentionDetect.detect(toks, dict)
     (1 to 5).foreach(_ => assert(MentionDetect.detect(toks, dict) == once))
   }
+
+  test("cascade is LIVE in detection: cased and ALL-CAPS surfaces hit a lower dict") {
+    val toks = MentionDetect.tokenizeCased("New York and ACME CORP met Acme")
+    val spans = MentionDetect.detect(toks, dict)
+    assert(spans.map(s => (s.begin, s.surface, s.entry.mention)) ==
+      List((0, "New York", "new york"), (3, "ACME CORP", "acme corp"),
+           (6, "Acme", "acme")))
+  }
+
+  test("cascade in detection picks the most frequent present form") {
+    val d: MentionDetect.Dict = Map(
+      "Apple" -> entry("Apple", "e_company" -> 1.0).copy(freq = 1000),
+      "apple" -> entry("apple", "e_fruit" -> 1.0).copy(freq = 10))
+    // raw cased form present and more frequent → exact wins
+    val s1 = MentionDetect.detect(Array("Apple"), d)
+    assert(s1.head.entry.mention == "Apple")
+    // lowercase input: only the lower key matches (fast path)
+    val s2 = MentionDetect.detect(Array("apple"), d)
+    assert(s2.head.entry.mention == "apple")
+  }
+
+  test("unicode folding: accented surfaces tokenize and link") {
+    assert(MentionDetect.tokenizeCased("Zürich café").toSeq == Seq("Zurich", "cafe"))
+    assert(MentionDetect.tokenize("Zürich CAFÉ").toSeq == Seq("zurich", "cafe"))
+    val d: MentionDetect.Dict = Map("zurich" -> entry("zurich", "e_zrh" -> 1.0))
+    val spans = MentionDetect.detect(MentionDetect.tokenizeCased("In Zürich today"), d)
+    assert(spans.map(_.surface) == List("Zurich"))
+  }
+
+  test("prerank: pool = prior-top-4 ∪ ctx-top-3 from a 30-candidate list") {
+    // 30 candidates, priors strictly decreasing e00 > e01 > ... > e29
+    val cands = Array.tabulate(30)(i => Candidate(f"e$i%02d", (30 - i) / 100.0))
+    val ctx = MinHash.meanEmbedding(Seq("topicx"), 32)
+    // e25 is a low-prior candidate whose vector matches the context
+    val vecs = Map("e25" -> ctx)
+    val ev: String => Array[Float] = vecs.getOrElse(_, Array.empty)
+    val pool = MentionDetect.prerank(cands, ctx.map(_.toDouble), ev).map(_._1.entity)
+    assert(pool.length <= MentionDetect.KeepPrior + MentionDetect.KeepCtx)
+    // prior top-4 present
+    assert(Seq("e00", "e01", "e02", "e03").forall(pool.contains))
+    // ctx winner present despite prior rank 26
+    assert(pool.contains("e25"))
+    // a mid-prior zero-ctx candidate is preranked AWAY
+    assert(!pool.contains("e10"))
+    // and resolve picks the context winner from the pool
+    val (best, margin) = MentionDetect.resolve(cands, ctx, ev)
+    assert(best == "e25")
+    assert(margin > 0)
+    // without context the prior argmax wins
+    assert(MentionDetect.resolve(cands, Array.empty[Float], ev)._1 == "e00")
+    // short lists bypass prerank untouched
+    val shortPool = MentionDetect.prerank(cands.take(5), ctx.map(_.toDouble), ev)
+    assert(shortPool.map(_._1.entity).toSeq == cands.take(5).map(_.entity).toSeq)
+  }
 }

@@ -19,14 +19,21 @@ class PipelineSpec extends SparkSpec {
   test("mention detection finds exactly the gold mentions") {
     val ms = Pipeline.mentions(turns,
       spark.sparkContext.broadcast(dict), spark.sparkContext.broadcast(vecs))
-    val got = ms.select("conv_id", "turn_idx", "begin", "end", "surface")
-      .as[(String, Int, Int, Int, String)].collect().toSet
+    // Mention.surface is the RAW text span (cased fixtures stay cased —
+    // the cascade normalizes, it must not rewrite the observed surface);
+    // gold stores the lowercase form, so compare case-folded.
+    val got = ms.select(col("conv_id"), col("turn_idx"), col("begin"), col("end"),
+                        lower(col("surface")).as("surface"), col("norm"))
+      .as[(String, Int, Int, Int, String, String)].collect()
+    val gotKeys = got.map(m => (m._1, m._2, m._3, m._4, m._5)).toSet
     val want = gold.collect()
       .map(g => (g.conv_id, g.turn_idx, g.begin, g.end, g.surface)).toSet
-    val missed = want -- got
-    val spurious = got -- want
+    val missed = want -- gotKeys
+    val spurious = gotKeys -- want
     assert(missed.isEmpty, s"missed ${missed.size}: ${missed.take(5)}")
     assert(spurious.isEmpty, s"spurious ${spurious.size}: ${spurious.take(5)}")
+    // every norm the cascade chose is a real dictionary key
+    assert(got.forall(m => dict.contains(m._6)))
   }
 
   test("pairwise F1 >= 0.99 on labeled pairs sharing a blocking key") {
