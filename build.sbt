@@ -28,3 +28,16 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
 )
+// JVM shape for `runMain` (Bench/Verify/Demo/ScalingBench): this sandbox
+// is a microVM kernel where first-touch minor faults serialize on
+// mmap_lock — a growing G1 heap that also uncommits regions re-faults
+// pages constantly (measured: 89% SYSTEM time, 360M minor faults, a
+// 26M-turn pipeline run at 551 s that drops to 95 s with this shape).
+// Fixed pre-touched heap + ParallelGC (no uncommit, throughput collector)
+// pays the fault cost once at JVM start, outside any timed window. Tests
+// keep the default fast-startup heap. Opt out: SPARK_GRAFT_NO_PRETOUCH=1.
+run / javaOptions ++= (
+  if (sys.env.contains("SPARK_GRAFT_NO_PRETOUCH")) Seq.empty
+  else Seq(s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
+           "-XX:+AlwaysPreTouch", "-XX:+UseParallelGC")
+)

@@ -19,6 +19,10 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+      // smaller input splits: the detection stage is the big map pass and
+      // 128 MB splits gave only ~2.3 task waves at 28 cores (straggler
+      // tail, util 0.75 measured); 32 MB packs 4x more tasks
+      .config("spark.sql.files.maxPartitionBytes", "33554432")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

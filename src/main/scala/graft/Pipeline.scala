@@ -128,9 +128,12 @@ object Pipeline {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     // broadcast the id set when it is broadcast-sized (the normal case:
     // #distinct surfaces + low-margin tail); degrade to a shuffled
-    // semi-join on the uniform mention_id key otherwise
+    // semi-join on the uniform mention_id key otherwise. Cutoff 1M rows:
+    // mention ids are ~25-byte strings, so 1M ≈ 25-50 MB serialized —
+    // comfortably under executor broadcast budgets; 5M (round 1) risked
+    // a 100-300 MB broadcast per executor.
     val idRows = scoringIds.count()
-    val idSide = if (idRows <= 5000000L) broadcast(scoringIds) else scoringIds
+    val idSide = if (idRows <= 1000000L) broadcast(scoringIds) else scoringIds
     val scoringMs = msDf
       .join(idSide, Seq("mention_id"), "left_semi")
       .as[Mention]

@@ -25,7 +25,8 @@ object Clustering {
     * job per round instead of checkpoint + separate signature agg — the
     * driver-side fixpoint latency is the serial fraction that caps
     * scaling efficiency on short rounds. */
-  def connectedComponents(edges0: DataFrame, maxIter: Int = 50): DataFrame = {
+  def connectedComponents(edges0: DataFrame, maxIter: Int = 50,
+                          driverEdgeLimit: Long = 1000000L): DataFrame = {
     require(maxIter >= 1)
 
     // canonical parent-pointer form: dst < src, no self-loops, distinct
@@ -36,6 +37,20 @@ object Clustering {
         least(col("src"), col("dst")).as("dst"))
       .distinct()
     var (edges, prevSig) = checkpointWithSignature(canonical, "cc_init")
+
+    // Scale-adaptive physical strategy (the same decision a broadcast-join
+    // threshold makes): after supernode collapse the scoring graph is
+    // routinely tiny relative to the corpus (nodes ∝ distinct surface
+    // forms, not turns). When the deduped edge count fits comfortably on
+    // the driver, a single collect + union-find replaces the O(log n)
+    // round loop whose per-round fixed job latency is pure serial fraction
+    // at any cluster size — identical output (min-member components,
+    // property-tested against the loop in ClusteringSpec). Above the
+    // limit, the distributed large/small-star loop runs as before.
+    if (prevSig._1 <= driverEdgeLimit) {
+      edges.unpersist()
+      return driverCC(canonical)
+    }
 
     var converged = false
     var iter = 0
@@ -88,6 +103,40 @@ object Clustering {
     // …and u points to the min (mins is already one row per u).
     val self = mins.select(col("src"), col("m").as("dst"))
     nbrs.unionAll(self).distinct()
+  }
+
+  /** Driver-side union-find over a collected edge list. Output identical
+    * to the distributed loop: (node, cluster_id = min member id). */
+  private def driverCC(edges: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val pairs = edges.select(col("src"), col("dst")).as[(String, String)].collect()
+    val idx = scala.collection.mutable.HashMap.empty[String, Int]
+    val names = scala.collection.mutable.ArrayBuffer.empty[String]
+    def id(s: String): Int = idx.getOrElseUpdate(s, { names += s; names.length - 1 })
+    val parent = scala.collection.mutable.ArrayBuffer.empty[Int]
+    def find(x0: Int): Int = {
+      var x = x0
+      while (parent(x) != x) { parent(x) = parent(parent(x)); x = parent(x) }
+      x
+    }
+    pairs.foreach { case (a, b) =>
+      val ia = id(a); val ib = id(b)
+      while (parent.length < names.length) parent += parent.length
+      val ra = find(ia); val rb = find(ib)
+      if (ra != rb) parent(ra) = rb
+    }
+    // min member name per component root
+    val minOf = scala.collection.mutable.HashMap.empty[Int, String]
+    var i = 0
+    while (i < names.length) {
+      val r = find(i)
+      val cur = minOf.get(r)
+      if (cur.isEmpty || names(i) < cur.get) minOf(r) = names(i)
+      i += 1
+    }
+    val out = (0 until names.length).map(i => (names(i), minOf(find(i))))
+    spark.createDataset(out).toDF("node", "cluster_id")
   }
 
   /** Eagerly checkpoint `df` while computing its change-detection

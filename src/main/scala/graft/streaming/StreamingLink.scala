@@ -1,0 +1,158 @@
+package graft.streaming
+
+import graft.functions.MinHash
+import graft.model._
+import graft.operators.{Coref, MentionDetect}
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming mention linking (SURVEY.md §2.10, REL crel
+  * `conv_el.py::ConvEL` analogue): transcripts arrive as an append stream
+  * of turns; detection is stateless per turn, while coref candidate
+  * inheritance is PER-CONVERSATION STATE carried across micro-batches
+  * with `flatMapGroupsWithState` — the streaming twin of the batch
+  * `Coref.inheritedOfConv` (same greedy discipline, same
+  * nearest-preceding rule), so a conversation linked incrementally emits
+  * exactly the mentions the batch pipeline emits on the completed
+  * transcript (gated by StreamingLinkSpec).
+  *
+  * State discipline for 10¹²-turn scale: state per conv_id is the list of
+  * inheritance-source mentions, capped at [[MaxSeen]] most-recent (a
+  * conversation's working set — REL's coref window is likewise local),
+  * and an idle conversation's state is dropped after
+  * [[IdleTimeoutMs]] of processing time — state size is O(active
+  * conversations), not O(all conversations ever seen).
+  */
+object StreamingLink {
+
+  val MaxSeen = 64
+  val IdleTimeoutMs: Long = 6 * 3600 * 1000L // 6h idle → conversation over
+
+  /** Inheritance source kept in state (slim: no ctx vector, no ids). */
+  case class SeenMention(turnIdx: Int, begin: Int, norm: String,
+                         surfaceLower: String, candidates: Array[Candidate])
+  case class ConvState(seen: Seq[SeenMention])
+
+  /** Detect + coref-link the turns of one conversation micro-batch given
+    * the seen-mention state; returns (emitted mentions, new state).
+    * Turns are processed in turn_idx order; arrival across batches is
+    * assumed turn-ordered per conversation (live transcript appends). */
+  def processBatch(convId: String, batch: Array[Turn], seen0: Seq[SeenMention],
+                   dict: MentionDetect.Dict,
+                   entityVec: String => Array[Float]): (Seq[Mention], Seq[SeenMention]) = {
+    var seen = seen0
+    val out = scala.collection.mutable.ListBuffer.empty[Mention]
+    batch.sortBy(_.turn_idx).foreach { t =>
+      val detected = MentionDetect.mentionsOfTurn(t, dict, entityVec)
+      out ++= detected
+      // coref against state: earlier turns of THIS conversation only
+      val maxN = if (seen.isEmpty) 0 else seen.iterator.map(_.surfaceLower.count(_ == ' ') + 1).max - 1
+      if (maxN > 0) {
+        val toks = MentionDetect.tokenizeCased(if (t.text == null) "" else t.text)
+        val lowerToks = toks.map(_.toLowerCase)
+        val taken = new Array[Boolean](toks.length)
+        detected.foreach { m =>
+          var p = m.begin
+          while (p < math.min(m.end, toks.length)) { taken(p) = true; p += 1 }
+        }
+        var size = math.min(maxN, toks.length)
+        while (size >= 1) {
+          var i = 0
+          while (i + size <= toks.length) {
+            var free = true
+            var p = i
+            while (p < i + size) { if (taken(p)) free = false; p += 1 }
+            if (free) {
+              val rawSurface = toks.slice(i, i + size).mkString(" ")
+              if (MentionDetect.normalizeMention(rawSurface, dict).isEmpty) {
+                val gram = lowerToks.slice(i, i + size)
+                seen.find(s => Coref.containsRun(s.surfaceLower.split(" "), gram)) match {
+                  case Some(src) =>
+                    val ctxToks = MentionDetect.contextTokens(toks, i, i + size)
+                      .map(_.toLowerCase)
+                    val ctx = MinHash.meanEmbedding(ctxToks, MentionDetect.CtxDim)
+                    val (resolved, score) =
+                      MentionDetect.resolve(src.candidates, ctx, entityVec)
+                    out += Mention(Ids.mentionId(convId, t.turn_idx, i),
+                                   convId, t.turn_idx, i, i + size, rawSurface,
+                                   src.norm, src.candidates, ctx, resolved, score)
+                    p = i
+                    while (p < i + size) { taken(p) = true; p += 1 }
+                    i += size - 1
+                  case None =>
+                }
+              }
+            }
+            i += 1
+          }
+          size -= 1
+        }
+      }
+      // this turn's DETECTED mentions become sources for later turns
+      seen = (seen ++ detected.map(m => SeenMention(m.turn_idx, m.begin, m.norm,
+                                                    m.surface.toLowerCase, m.candidates)))
+        .sortBy(s => (-s.turnIdx, -s.begin, s.norm)) // nearest-preceding first
+        .take(MaxSeen)
+    }
+    (out.toList, seen)
+  }
+
+  /** Watermarked windowed aggregation over the mention stream: mentions
+    * per (event-time window, surface form) — the SURVEY §2.10 "windowed
+    * aggs + watermark" shape. Detection here is the stateless map; late
+    * turns beyond the watermark are dropped by Spark, state is bounded by
+    * open windows. */
+  def mentionWindowCounts(turns: Dataset[Turn],
+                          dictBc: Broadcast[MentionDetect.Dict],
+                          watermark: String = "10 minutes",
+                          windowLen: String = "1 minute")
+      : org.apache.spark.sql.DataFrame = {
+    val spark = turns.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val hits = turns.flatMap { t =>
+      val dict = dictBc.value
+      MentionDetect.detect(
+        MentionDetect.tokenizeCased(if (t.text == null) "" else t.text), dict)
+        .map(s => (t.ts, s.entry.mention))
+    }.toDF("ts", "norm")
+    hits.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen), col("norm"))
+      .count()
+  }
+
+  /** Streaming query body: turns stream → mention stream (append mode).
+    * Use on a streaming Dataset[Turn] (`readStream` source).
+    *
+    * `timeout` defaults to ProcessingTimeTimeout so idle conversations'
+    * state is dropped after [[IdleTimeoutMs]] (production setting; note
+    * Spark keeps scheduling timeout-evaluation micro-batches while any
+    * timeout is armed). Tests pass NoTimeout for bounded queries. */
+  def mentions(turns: Dataset[Turn],
+               dictBc: Broadcast[MentionDetect.Dict],
+               entityVecBc: Broadcast[Map[String, Array[Float]]],
+               timeout: GroupStateTimeout = GroupStateTimeout.ProcessingTimeTimeout)
+      : Dataset[Mention] = {
+    val spark = turns.sparkSession
+    import spark.implicits._
+    val armTimeout = timeout == GroupStateTimeout.ProcessingTimeTimeout
+    turns.groupByKey(_.conv_id)
+      .flatMapGroupsWithState[ConvState, Mention](OutputMode.Append, timeout) {
+        (convId, it, state: GroupState[ConvState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val dict = dictBc.value
+            val ev: String => Array[Float] =
+              e => entityVecBc.value.getOrElse(e, Array.empty[Float])
+            val seen0 = state.getOption.map(_.seen).getOrElse(Seq.empty)
+            val (ms, seen) = processBatch(convId, it.toArray, seen0, dict, ev)
+            state.update(ConvState(seen))
+            if (armTimeout) state.setTimeoutDuration(IdleTimeoutMs)
+            ms.iterator
+          }
+      }
+  }
+}

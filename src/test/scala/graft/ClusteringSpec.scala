@@ -22,10 +22,19 @@ class ClusteringSpec extends SparkSpec {
     groups.flatMap { case (_, ms) => val m = ms.min; ms.map(_ -> m) }.toMap
   }
 
+  /** Every check runs BOTH physical paths: the driver union-find shortcut
+    * (default — these graphs are under the limit) and the distributed
+    * large/small-star loop (forced with driverEdgeLimit = 0). Identical
+    * output is the contract of the scale-adaptive switch. */
   def check(edges: Seq[(String, String)]): Unit = {
-    val got = Clustering.connectedComponents(edges.toDF("src", "dst"))
+    val want = ufComponents(edges)
+    val viaDriver = Clustering.connectedComponents(edges.toDF("src", "dst"))
       .as[(String, String)].collect().toMap
-    assert(got == ufComponents(edges))
+    assert(viaDriver == want, "driver union-find path diverged")
+    val viaLoop = Clustering.connectedComponents(edges.toDF("src", "dst"),
+        driverEdgeLimit = 0L)
+      .as[(String, String)].collect().toMap
+    assert(viaLoop == want, "distributed star-loop path diverged")
   }
 
   test("chain, star, triangle, two components") {
@@ -65,7 +74,8 @@ class ClusteringSpec extends SparkSpec {
     val rng = new scala.util.Random(7)
     val edges = (1 to 150).map { _ => (f"v${rng.nextInt(60)}%03d", f"v${rng.nextInt(60)}%03d") }
       .filter(e => e._1 != e._2)
-    val assign = Clustering.connectedComponents(edges.toDF("src", "dst"))
+    val assign = Clustering.connectedComponents(edges.toDF("src", "dst"),
+        driverEdgeLimit = 0L) // exercise the distributed path's invariants
       .as[(String, String)].collect()
     val byNode = assign.groupBy(_._1)
     assert(byNode.values.forall(_.length == 1), "a node has 2 cluster ids")

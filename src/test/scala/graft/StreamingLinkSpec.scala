@@ -1,0 +1,102 @@
+package graft
+
+import graft.model._
+import graft.operators.{Coref, MentionDetect}
+import graft.streaming.StreamingLink
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+class StreamingLinkSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(min: Int) = new Timestamp(1704067200000L + min * 60000L)
+  private def turn(conv: String, idx: Int, text: String): Turn =
+    Turn(conv, idx, "user", text, null, ts(idx))
+  private def entry(key: String, e: String) =
+    key -> DictEntry(key, key, 10, Array(Candidate(e, 1.0)))
+
+  val dict: MentionDetect.Dict =
+    Map(entry("barack obama", "e_bo"), entry("angela merkel", "e_am"))
+  val noVec: String => Array[Float] = _ => Array.empty[Float]
+  lazy val dictBc = spark.sparkContext.broadcast(dict)
+  lazy val vecsBc = spark.sparkContext.broadcast(Map.empty[String, Array[Float]])
+
+  val allTurns = Seq(
+    turn("c1", 0, "we met barack obama today"),
+    turn("c1", 1, "obama spoke at length"),
+    turn("c1", 2, "then obama left"),
+    turn("c2", 0, "angela merkel arrived"),
+    turn("c2", 1, "merkel replied"))
+
+  private def key(m: Mention) = (m.conv_id, m.turn_idx, m.begin, m.end, m.norm, m.resolved)
+
+  /** Batch reference: detected ∪ inherited over the complete transcript. */
+  private def batchReference(turns: Seq[Turn]): Set[(String, Int, Int, Int, String, String)] = {
+    val detected = turns.flatMap(t => MentionDetect.mentionsOfTurn(t, dict, noVec))
+    val inherited = turns.groupBy(_.conv_id).toSeq.flatMap { case (c, ts) =>
+      Coref.inheritedOfConv(c, ts.toArray,
+        detected.filter(_.conv_id == c).toArray, dict, noVec)
+    }
+    (detected ++ inherited).map(key).toSet
+  }
+
+  test("incremental linking across micro-batches equals the batch pipeline") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Turn]
+    val q = StreamingLink.mentions(input.toDS(), dictBc, vecsBc,
+        timeout = org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout)
+      .writeStream.format("memory").queryName("stream_mentions")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // turns arrive in two batches, split mid-conversation
+      input.addData(allTurns.take(2))
+      q.processAllAvailable()
+      input.addData(allTurns.drop(2))
+      q.processAllAvailable()
+      val got = spark.table("stream_mentions").as[Mention]
+        .collect().map(key).toSet
+      assert(got == batchReference(allTurns),
+        s"stream=$got\nbatch=${batchReference(allTurns)}")
+    } finally q.stop()
+  }
+
+  test("per-batch kernel: state carries inheritance sources forward") {
+    val (out1, seen1) = StreamingLink.processBatch(
+      "c1", Array(allTurns(0)), Seq.empty, dict, noVec)
+    assert(out1.size == 1 && out1.head.norm == "barack obama")
+    assert(seen1.size == 1)
+    val (out2, seen2) = StreamingLink.processBatch(
+      "c1", Array(allTurns(1), allTurns(2)), seen1, dict, noVec)
+    assert(out2.size == 2) // both later "obama"s inherit
+    assert(out2.forall(m => m.norm == "barack obama" && m.resolved == "e_bo"))
+    assert(seen2.size == 1) // inherited mentions are NOT sources (no chaining)
+  }
+
+  test("state is bounded: seen list capped at MaxSeen most-recent") {
+    val many = (0 until 200).map(i => turn("c9", i, "we met barack obama today"))
+    val (_, seen) = StreamingLink.processBatch("c9", many.toArray, Seq.empty, dict, noVec)
+    assert(seen.size <= StreamingLink.MaxSeen)
+    // most-recent kept: the max turnIdx survives the cap
+    assert(seen.map(_.turnIdx).max == 199)
+  }
+
+  test("watermarked windowed mention counts run incrementally") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Turn]
+    val q = StreamingLink.mentionWindowCounts(input.toDS(), dictBc,
+        watermark = "5 minutes", windowLen = "1 minute")
+      .writeStream.format("memory").queryName("win_counts")
+      .outputMode(OutputMode.Update).start()
+    try {
+      input.addData(allTurns)
+      q.processAllAvailable()
+      val rows = spark.table("win_counts").collect()
+      assert(rows.nonEmpty)
+      // exactly the two DICTIONARY hits count (inherited mentions are the
+      // stateful operator's, not the stateless windowed counter's)
+      assert(rows.map(_.getLong(2)).sum == 2)
+      assert(rows.map(_.getString(1)).toSet == Set("barack obama", "angela merkel"))
+    } finally q.stop()
+  }
+}
