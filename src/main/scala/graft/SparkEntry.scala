@@ -147,19 +147,15 @@ object SparkEntry {
                 col("begin").cast("bigint").as("bpos"), col("norm").as("bg"))
         .orderBy("conv_id", "turn_idx", "bpos")),
 
-    "q13_er_clusters" -> ((s, dir) => {
-      val ms = mentions(s, dir)
-      Pipeline.cluster(ms)
+    "q13_er_clusters" -> ((s, dir) =>
+      clusteredMentions(s, dir)
         .select(col("mention_id"), col("cluster_id"), col("norm").as("bg"))
-        .orderBy("mention_id")
-    }),
+        .orderBy("mention_id")),
 
-    "q14_cluster_sizes" -> ((s, dir) => {
-      val ms = mentions(s, dir)
-      Pipeline.cluster(ms)
+    "q14_cluster_sizes" -> ((s, dir) =>
+      clusteredMentions(s, dir)
         .groupBy("cluster_id").agg(count(lit(1)).as("size"))
-        .orderBy(desc("size"), asc("cluster_id"))
-    }),
+        .orderBy(desc("size"), asc("cluster_id"))),
 
     "q15_block_histogram" -> ((s, dir) =>
       mentions(s, dir).toDF()

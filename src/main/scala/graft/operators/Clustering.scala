@@ -48,8 +48,13 @@ object Clustering {
     // property-tested against the loop in ClusteringSpec). Above the
     // limit, the distributed large/small-star loop runs as before.
     if (prevSig._1 <= driverEdgeLimit) {
+      // Collect from the CHECKPOINTED frame, not `canonical` — collecting
+      // canonical would re-run the whole upstream (blocking + scoring or
+      // the q16 tokenize self-join) a second time. driverCC's collect is
+      // eager, so unpersisting after it returns is safe.
+      val out = driverCC(edges)
       edges.unpersist()
-      return driverCC(canonical)
+      return out
     }
 
     var converged = false
