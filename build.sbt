@@ -23,10 +23,16 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// Default heap 12g: plenty for every sf0.1 surface (bench + verify +
+// 130k-turn pipeline measured < 8g resident), and the fixed pre-touched
+// heap below costs ~linear-in-size at JVM start — 32g was measured
+// charging ~47 s to the first query vs ~0 at 12g. Big corpora (the 26M-
+// turn ScalingBench runs) pass SPARK_DRIVER_MEM=40g explicitly.
+val driverMem = sys.env.getOrElse("SPARK_DRIVER_MEM", "12g")
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
+  s"-Xmx$driverMem",
 )
 // JVM shape for `runMain` (Bench/Verify/Demo/ScalingBench): this sandbox
 // is a microVM kernel where first-touch minor faults serialize on
@@ -38,6 +44,5 @@ javaOptions ++= jdk17AddOpens ++ Seq(
 // keep the default fast-startup heap. Opt out: SPARK_GRAFT_NO_PRETOUCH=1.
 run / javaOptions ++= (
   if (sys.env.contains("SPARK_GRAFT_NO_PRETOUCH")) Seq.empty
-  else Seq(s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
-           "-XX:+AlwaysPreTouch", "-XX:+UseParallelGC")
+  else Seq(s"-Xms$driverMem", "-XX:+AlwaysPreTouch", "-XX:+UseParallelGC")
 )
