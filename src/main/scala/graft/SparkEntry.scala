@@ -334,6 +334,36 @@ object SparkEntry {
              max(col("meta.height")).cast("bigint").as("max_h"))
         .orderBy("modality")
     }),
+
+    // IVF-Flat ANN over the embeddings table: deterministic coarse
+    // quantizer (nlist smallest-id vectors as centroids — the oracle
+    // recomputes the identical cell assignment in SQL), probe 2 of 8
+    // cells, exact rerank inside. The scale path complementing q26's
+    // exhaustive baseline and Ann.lshTopK's hyperplane buckets.
+    "q32_ann_ivf" -> ((s, dir) => {
+      val corpus = embeddings(s, dir)
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val qs = corpus.where(col("id") < 10)
+      operators.Ann.ivfTopK(corpus, qs, k = 5, nlist = 8, nprobe = 2)
+        .orderBy("q_id", "rank")
+    }),
+
+    // Winnowing document fingerprint (Schleimer et al., SIGMOD'03):
+    // char-5-gram 60-bit md5 hashes, window 8, distinct window minima.
+    // Map-only over documents; md5-based so the oracle reproduces every
+    // hash bit-for-bit in SQL.
+    "q33_winnow_fingerprint" -> ((s, dir) => {
+      import s.implicits._
+      docs(s, dir).select(col("doc_id"), col("text")).as[(Long, String)]
+        .flatMap { case (id, text) =>
+          val hs = TextFns.winnowHashes(text, 5, 8)
+          if (hs.isEmpty) None
+          else Some((id, hs.length.toLong,
+                     graft.functions.MinHash.md5Hex(hs.mkString(","))))
+        }
+        .toDF("doc_id", "n_fp", "fp_md5")
+        .orderBy("doc_id")
+    }),
   )
 
   /** Doc-similarity edges: same conversation (source), turn distance ≤ 3,
@@ -706,5 +736,55 @@ object SparkEntry {
         |       CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
         |       CAST(max(w) AS BIGINT) AS max_w, CAST(max(h) AS BIGINT) AS max_h
         |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q32_ann_ivf" ->
+      """WITH cents AS (
+        |  SELECT vec_id AS cell, CAST(embedding AS DOUBLE[]) AS cv
+        |  FROM embeddings ORDER BY vec_id LIMIT 8),
+        |assign AS (
+        |  SELECT id, cell FROM (
+        |    SELECT e.vec_id AS id, c.cell,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cv), 5) DESC, c.cell) AS rn
+        |    FROM embeddings e CROSS JOIN cents c)
+        |  WHERE rn = 1),
+        |probe AS (
+        |  SELECT q_id, cell FROM (
+        |    SELECT q.vec_id AS q_id, c.cell,
+        |      row_number() OVER (PARTITION BY q.vec_id
+        |        ORDER BY round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), c.cv), 5) DESC, c.cell) AS rn
+        |    FROM embeddings q CROSS JOIN cents c WHERE q.vec_id < 10)
+        |  WHERE rn <= 2),
+        |scored AS (
+        |  SELECT p.q_id, a.id,
+        |    round(list_cosine_similarity(CAST(qe.embedding AS DOUBLE[]), CAST(ce.embedding AS DOUBLE[])), 5) AS cos
+        |  FROM probe p JOIN assign a USING (cell)
+        |  JOIN embeddings qe ON qe.vec_id = p.q_id
+        |  JOIN embeddings ce ON ce.vec_id = a.id
+        |  WHERE a.id <> p.q_id)
+        |SELECT q_id, rank, id, cos FROM (
+        |  SELECT q_id, id, cos,
+        |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, id) AS BIGINT) AS rank
+        |  FROM scored)
+        |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+
+    "q33_winnow_fingerprint" ->
+      """WITH d AS (SELECT doc_id, lower(text) AS t FROM documents),
+        |g AS (
+        |  SELECT doc_id, i,
+        |    ('0x' || substr(md5(substr(t, CAST(i AS INT), 5)), 1, 15))::UBIGINT AS hv,
+        |    length(t) - 5 + 1 AS n
+        |  FROM d, LATERAL (SELECT unnest(range(1, length(t) - 5 + 2)) AS i) r),
+        |wmin AS (
+        |  SELECT doc_id, i, n,
+        |    min(hv) OVER (PARTITION BY doc_id ORDER BY i
+        |                  ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS mh
+        |  FROM g),
+        |sel AS (
+        |  SELECT DISTINCT doc_id, mh FROM wmin
+        |  WHERE i <= greatest(1, n - 8 + 1))
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fp,
+        |       md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY mh)) AS fp_md5
+        |FROM sel GROUP BY doc_id ORDER BY doc_id""".stripMargin,
   )
 }

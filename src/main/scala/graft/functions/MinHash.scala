@@ -86,6 +86,15 @@ object MinHash {
 
   def hammingDistance(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
 
+  /** Lowercase hex MD5 of a UTF-8 string — matches DuckDB `md5(s)`. */
+  def md5Hex(s: String): String = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val sb = new StringBuilder(32)
+    d.foreach(b => sb.append(f"${b & 0xff}%02x"))
+    sb.toString
+  }
+
   /** First 8 bytes of MD5(UTF-8 bytes) as a big-endian long — chosen over
     * murmur for the feature hash of [[simHashMd5]] because a DuckDB oracle
     * can compute the identical value: `('0x' || substr(md5(tok),1,16))::

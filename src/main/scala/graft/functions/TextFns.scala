@@ -79,6 +79,40 @@ object TextFns {
   def fingerprint(toks: Column): Column =
     md5(concat_ws(" ", array_sort(array_distinct(toks))))
 
+  /** Winnowing fingerprint hashes (Schleimer, Wilkerson, Aiken —
+    * "Winnowing: Local Algorithms for Document Fingerprinting",
+    * SIGMOD'03): 60-bit md5 hashes of the char `k`-grams of
+    * lower(text); every window of `w` consecutive k-gram hashes
+    * contributes its minimum; the fingerprint is the sorted DISTINCT
+    * selected-hash set. Guarantee: two documents sharing any substring
+    * of length ≥ w + k - 1 share at least one fingerprint hash.
+    *
+    * 60-bit (15 hex chars) rather than 64 so the value is a positive
+    * Long and SIGNED ordering here equals UNSIGNED ordering in the
+    * DuckDB oracle (`('0x' || substr(md5(g),1,15))::UBIGINT`). Texts
+    * shorter than `k` chars have no k-grams → empty fingerprint
+    * (callers drop them, as the oracle's unnest naturally does).
+    * O(n·w) min-scan — fine for transcript-sized rows; swap in a
+    * monotone deque for O(n) on book-length documents. */
+  def winnowHashes(text: String, k: Int, w: Int): Array[Long] = {
+    val s = text.toLowerCase
+    val n = s.length - k + 1
+    if (n <= 0) return Array.empty
+    val hs = Array.tabulate(n)(i => MinHash.md5Long(s.substring(i, i + k)) >>> 4)
+    val sel = scala.collection.mutable.SortedSet.empty[Long]
+    val lastStart = math.max(0, n - w)
+    var i = 0
+    while (i <= lastStart) {
+      var m = Long.MaxValue
+      var j = i
+      val end = math.min(i + w, n)
+      while (j < end) { if (hs(j) < m) m = hs(j); j += 1 }
+      sel += m
+      i += 1
+    }
+    sel.toArray
+  }
+
   /** Count of tokens that appear in a fixed (small) wordlist. */
   def wordlistHits(toks: Column, words: Seq[String]): Column = {
     val set = array(words.map(lit): _*)

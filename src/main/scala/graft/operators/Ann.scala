@@ -103,6 +103,109 @@ object Ann {
       .select("q_id", "id").distinct()
   }
 
+  /** IVF (inverted-file) coarse quantization: assign every corpus vector
+    * to its nearest centroid cell; queries probe only their `nprobe`
+    * nearest cells and rerank exactly inside them — the classic
+    * IVF-Flat scale path (probe cost ∝ nprobe/nlist of the corpus, and
+    * the cell assignment is a map-only pass over a broadcast centroid
+    * table, so building the index is one shuffle-free scan plus one
+    * shuffle on the cell key if the index is materialized partitioned).
+    *
+    * Centroids default to the nlist smallest-id corpus vectors — a
+    * deterministic, SQL-reproducible coarse quantizer (the q32 oracle
+    * recomputes the identical assignment in DuckDB). For real recall at
+    * scale pass Lloyd-refined centroids from [[ivfRefineCentroids]]
+    * (property-tested instead — k-means results aren't SQL-expressible).
+    *
+    * Ties everywhere are broken (cos DESC, cell ASC) on cosine ROUNDED
+    * to `roundTo`, so Spark and the SQL oracle pick identical cells. */
+  def ivfCentroids(corpus: DataFrame, nlist: Int): Array[(Long, Array[Float])] = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    corpus.select(col("id"), col("vec")).orderBy("id").limit(nlist)
+      .as[(Long, Array[Float])].collect()
+  }
+
+  /** Lloyd refinement of IVF centroids as DataFrame aggregations: assign
+    * (map-only, broadcast centroids) → per-cell mean via groupBy+avg
+    * (map-side partial agg — no skew exposure). Cell ids are preserved;
+    * empty cells keep their previous centroid. */
+  def ivfRefineCentroids(corpus: DataFrame,
+                         centroids: Array[(Long, Array[Float])],
+                         iters: Int = 2, roundTo: Int = 5): Array[(Long, Array[Float])] = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    var cents = centroids
+    for (_ <- 0 until iters) {
+      val bc = spark.sparkContext.broadcast(cents)
+      val assigned = corpus.select(col("id"), col("vec")).as[(Long, Array[Float])]
+        .map { case (_, vec) => (nearestCells(vec, bc.value, 1, roundTo).head, vec) }
+        .toDF("cell", "vec")
+      val means = assigned
+        .select(col("cell"), posexplode(col("vec")).as(Seq("i", "x")))
+        .groupBy("cell", "i").agg(avg("x").as("m"))
+        .groupBy("cell").agg(sort_array(collect_list(struct(col("i"), col("m")))).as("ms"))
+        .as[(Long, Seq[(Int, Double)])].collect()
+        .map { case (cell, ms) => cell -> ms.map(_._2.toFloat).toArray }.toMap
+      cents = cents.map { case (cell, old) => (cell, means.getOrElse(cell, old)) }
+      bc.destroy()
+    }
+    cents
+  }
+
+  /** `n` nearest centroid cell ids for a vector, by (rounded cos DESC,
+    * cell ASC). */
+  private def nearestCells(vec: Array[Float], cents: Array[(Long, Array[Float])],
+                           n: Int, roundTo: Int): Seq[Long] = {
+    val v = vec.map(_.toDouble)
+    cents.map { case (cell, cv) =>
+      val c = graft.functions.StringSim.cosine(v, cv.map(_.toDouble))
+      (BigDecimal(c).setScale(roundTo, BigDecimal.RoundingMode.HALF_UP).toDouble, cell)
+    }.sortBy { case (c, cell) => (-c, cell) }.take(n).map(_._2).toSeq
+  }
+
+  /** IVF-Flat approximate top-k: probe `nprobe` of `nlist` cells, exact
+    * cosine rerank inside. With nprobe = nlist this is exhaustive and
+    * equals [[bruteForceTopK]] (property-tested in AnnSpec). Output
+    * (q_id, rank, id, cos) like bruteForceTopK. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              nlist: Int = 16, nprobe: Int = 2, roundTo: Int = 5,
+              centroids: Option[Array[(Long, Array[Float])]] = None): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cents = centroids.getOrElse(ivfCentroids(corpus, nlist))
+    val bc = spark.sparkContext.broadcast(cents)
+    val corpusCells = corpus.select(col("id"), col("vec")).as[(Long, Array[Float])]
+      .map { case (id, vec) => (nearestCells(vec, bc.value, 1, roundTo).head, id) }
+      .toDF("cell", "id")
+    val queryCells = queries.select(col("id"), col("vec")).as[(Long, Array[Float])]
+      .flatMap { case (id, vec) =>
+        nearestCells(vec, bc.value, math.min(nprobe, cents.length), roundTo).map(c => (c, id))
+      }.toDF("cell", "q_id")
+
+    // each corpus id lives in exactly one cell → the cell join emits no
+    // duplicate (q_id, id) pairs; no distinct needed
+    val cand = queryCells.join(corpusCells, "cell")
+      .where(col("id") =!= col("q_id"))
+      .select("q_id", "id")
+    val scored = cand
+      .join(corpus.select(col("id"), col("vec")), "id")
+      .join(broadcast(queries.select(col("id").as("q_id"), col("vec").as("q_vec"))), "q_id")
+      .select(col("q_id"),
+              round(GraftFunctions.cosineSim(col("vec"), col("q_vec")), roundTo).as("cos"),
+              col("id"))
+    val topk = new TopKAgg(k).toColumn
+    scored.as[(Long, Double, Long)]
+      .map { case (q, c, id) => (q, (c, f"$id%012d")) }
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(topk.name("top"))
+      .toDF("q_id", "top")
+      .select(col("q_id"), posexplode(col("top")).as(Seq("rank0", "hit")))
+      .select(col("q_id"), (col("rank0") + 1).cast("long").as("rank"),
+              col("hit._2").cast("long").as("id"), col("hit._1").as("cos"))
+  }
+
   /** Approximate top-k via random-hyperplane LSH: banded sign buckets with
     * query-side multi-probe as the candidate filter (see lshCandidates),
     * exact cosine rerank on candidates only. Recall gated in AnnSpec:

@@ -77,4 +77,54 @@ class AnnSpec extends SparkSpec {
     val b = Ann.lshTopK(emb, qs, 3).collect().map(_.toString).sorted.toSeq
     assert(a == b)
   }
+
+  test("IVF with nprobe = nlist is exhaustive: equals brute force") {
+    val qs = emb.where(col("id") < 5)
+    val ivf = Ann.ivfTopK(emb, qs, k = 5, nlist = 8, nprobe = 8)
+      .orderBy("q_id", "rank").collect().map(_.toString).toSeq
+    val bf = Ann.bruteForceTopK(emb, qs, 5)
+      .orderBy("q_id", "rank").collect().map(_.toString).toSeq
+    assert(ivf == bf)
+  }
+
+  test("IVF probes a corpus subset and stays deterministic") {
+    val qs = emb.where(col("id") < 5)
+    val a = Ann.ivfTopK(emb, qs, k = 5, nlist = 8, nprobe = 2).collect()
+      .map(_.toString).sorted.toSeq
+    val b = Ann.ivfTopK(emb, qs, k = 5, nlist = 8, nprobe = 2).collect()
+      .map(_.toString).sorted.toSeq
+    assert(a == b)
+    assert(a.size == 5 * 5)
+  }
+
+  test("IVF Lloyd refinement keeps cell ids/dims and improves recall on clustered data") {
+    import graft.functions.MinHash
+    val dim = 16
+    val perCluster = 50
+    val corpus = spark.range(1000L).as[Long].map { id =>
+      val cent = MinHash.hashEmbedding(s"ivfc${id / perCluster}", dim)
+      val noise = MinHash.hashEmbedding(s"ivfn$id", dim)
+      (id, Array.tabulate(dim)(i => cent(i) + 0.2f * noise(i)))
+    }.toDF("id", "vec").cache()
+    corpus.count()
+    val qs = corpus.where(col("id") % perCluster === 0 && col("id") < 5L * perCluster)
+    val exact = Ann.bruteForceTopK(corpus, qs, 10)
+      .select("q_id", "id").as[(Long, Long)].collect().toSet
+
+    def recallWith(cents: Array[(Long, Array[Float])]): Double = {
+      val got = Ann.ivfTopK(corpus, qs, k = 10, nlist = 20, nprobe = 3,
+                            centroids = Some(cents))
+        .select("q_id", "id").as[(Long, Long)].collect().toSet
+      (exact & got).size.toDouble / exact.size
+    }
+    val coarse = Ann.ivfCentroids(corpus, 20)
+    val refined = Ann.ivfRefineCentroids(corpus, coarse, iters = 2)
+    assert(refined.map(_._1).toSeq == coarse.map(_._1).toSeq) // cells preserved
+    assert(refined.forall(_._2.length == dim))
+    val (r0, r1) = (recallWith(coarse), recallWith(refined))
+    info(f"ivf recall coarse=$r0%.3f refined=$r1%.3f")
+    assert(r1 >= r0 - 0.05, s"refinement degraded recall: $r0 -> $r1")
+    assert(r1 >= 0.5, s"refined recall too low: $r1")
+    corpus.unpersist()
+  }
 }
