@@ -46,29 +46,30 @@ object Pipeline {
     * same-entity clique volume (quadratic in corpus size — fatal at 10^12
     * turns where a hot surface has 10^8 identical mentions) into linear
     * pre-edges. Low-margin mentions are never collapsed. */
-  def cluster(ms: Dataset[Mention], cfg: Config = Config()): DataFrame = {
-    // The mention set feeds 4+ downstream consumers (supernode grouping,
-    // scoring-set anti-filter, payload attach, final assignment join) —
-    // persist it or the detection flatMap (tokenize + greedy match +
-    // context embed + ED) re-executes once per consumer. In production
-    // this is the stage-A checkpoint table (runCheckpointed).
-    import org.apache.spark.storage.StorageLevel
-    val msP = CacheTracker.register(ms.persist(StorageLevel.MEMORY_AND_DISK))
-    val (scoringMs0, memberEdges) =
-      if (cfg.supernode) supernodeCollapse(msP, cfg) else (msP, None)
-    val scoringMs = CacheTracker.register(scoringMs0.persist(StorageLevel.MEMORY_AND_DISK))
-    val keyed = Blocking.withBlockKeys(scoringMs, cfg.lsh)
-    val pairIds = Blocking.candidatePairs(keyed, cfg.tau, cfg.blockMaxSize,
-                                          cfg.starThreshold, cfg.starK)
-    val scored = Scoring.edges(Blocking.attachPayload(pairIds, scoringMs), cfg.score)
-    // Materialize the assignment (localCheckpoint is the in-memory analogue
-    // of the stage table runCheckpointed writes), then release every
-    // intermediate cache — callers get a self-contained frame and repeated
-    // cluster() calls in one session no longer accumulate cached blocks.
-    val out = assemble(msP.toDF(), scored, memberEdges, cfg).localCheckpoint(true)
-    CacheTracker.drainUnpersist()
-    out
-  }
+  def cluster(ms: Dataset[Mention], cfg: Config = Config()): DataFrame =
+    CacheTracker.scoped { // per-run registry: concurrent runs can't drain each other
+      // The mention set feeds 4+ downstream consumers (supernode grouping,
+      // scoring-set anti-filter, payload attach, final assignment join) —
+      // persist it or the detection flatMap (tokenize + greedy match +
+      // context embed + ED) re-executes once per consumer. In production
+      // this is the stage-A checkpoint table (runCheckpointed).
+      import org.apache.spark.storage.StorageLevel
+      val msP = CacheTracker.register(ms.persist(StorageLevel.MEMORY_AND_DISK))
+      val (scoringMs0, memberEdges) =
+        if (cfg.supernode) supernodeCollapse(msP, cfg) else (msP, None)
+      val scoringMs = CacheTracker.register(scoringMs0.persist(StorageLevel.MEMORY_AND_DISK))
+      val keyed = Blocking.withBlockKeys(scoringMs, cfg.lsh)
+      val pairIds = Blocking.candidatePairs(keyed, cfg.tau, cfg.blockMaxSize,
+                                            cfg.starThreshold, cfg.starK)
+      val scored = Scoring.edges(Blocking.attachPayload(pairIds, scoringMs), cfg.score)
+      // Materialize the assignment (localCheckpoint is the in-memory analogue
+      // of the stage table runCheckpointed writes), then release every
+      // intermediate cache — callers get a self-contained frame and repeated
+      // cluster() calls in one session no longer accumulate cached blocks.
+      val out = assemble(msP.toDF(), scored, memberEdges, cfg).localCheckpoint(true)
+      CacheTracker.drainUnpersist()
+      out
+    }
 
   /** CC over the SCORING graph only (representatives + low-margin
     * mentions — size ∝ distinct surface forms, not corpus rows), then a
@@ -157,7 +158,7 @@ object Pipeline {
                       vecs: Map[String, Array[Float]],
                       root: String,
                       fingerprint: String,
-                      cfg: Config = Config()): DataFrame = {
+                      cfg: Config = Config()): DataFrame = CacheTracker.scoped {
     val spark = turns.sparkSession
     import spark.implicits._
     val sc = spark.sparkContext

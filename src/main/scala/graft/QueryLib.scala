@@ -91,9 +91,26 @@ object QueryLib {
   private val clusterMemo =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
-  def clusteredMentions(spark: SparkSession, sfDir: String): DataFrame =
+  def clusteredMentions(spark: SparkSession, sfDir: String): DataFrame = {
+    // evict entries of stopped sessions — otherwise the memo pins
+    // localCheckpoint'd frames (and their SparkSessions) for the process
+    // lifetime, a leak in any long-lived multi-session service
+    clusterMemo.keySet.removeIf(k => k._1.sparkContext.isStopped)
     clusterMemo.computeIfAbsent((spark, sfDir),
-      _ => Pipeline.cluster(mentions(spark, sfDir)))
+      _ => Pipeline.cluster(allMentions(spark, sfDir)))
+  }
+
+  /** Flagship mention set: detected ∪ coref-inherited, the REL
+    * `with_coref` union (SURVEY §2.3 — "union with the detected set
+    * downstream"). Inherited mentions occupy positions detection left
+    * uncovered, so the union is disjoint on mention_id by construction;
+    * dropDuplicates is a safety net, not a semantic step. */
+  def allMentions(spark: SparkSession, sfDir: String): Dataset[Mention] = {
+    import spark.implicits._
+    val detected = mentions(spark, sfDir)
+    detected.unionByName(corefMentions(spark, sfDir))
+      .dropDuplicates("mention_id").as[Mention]
+  }
 
   /** Coref-inherited mentions (substring candidate inheritance) over the
     * same transcripts + detected mentions. */
@@ -130,6 +147,38 @@ object QueryLib {
        |  FROM (SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx, rid ORDER BY p) - 1 AS off
        |        FROM runs)
        |  WHERE off % 2 = 0)""".stripMargin
+
+  /** Coref-inheritance CTE chain (appended after [[mentionsSql]]): a token
+    * at an uncovered position matching either word of a strictly-earlier
+    * same-conversation mention inherits that mention's key; nearest
+    * preceding (turn desc, bpos desc), then bg asc — mirroring
+    * Coref.inheritedOfConv exactly. */
+  val corefCtes: String =
+    """cov AS (
+      |  SELECT conv_id, turn_idx, bpos AS p FROM mentions
+      |  UNION ALL
+      |  SELECT conv_id, turn_idx, bpos + 1 FROM mentions),
+      |tok0 AS (SELECT conv_id, turn_idx, tok, CAST(pos - 1 AS BIGINT) AS p FROM tok),
+      |inh AS (
+      |  SELECT t.conv_id, t.turn_idx, t.p, m.bg,
+      |         row_number() OVER (PARTITION BY t.conv_id, t.turn_idx, t.p
+      |                            ORDER BY m.turn_idx DESC, m.bpos DESC, m.bg ASC) AS rn
+      |  FROM tok0 t
+      |  JOIN mentions m ON m.conv_id = t.conv_id AND m.turn_idx < t.turn_idx
+      |    AND (t.tok = split_part(m.bg, ' ', 1) OR t.tok = split_part(m.bg, ' ', 2))
+      |  WHERE NOT EXISTS (SELECT 1 FROM cov c
+      |                    WHERE c.conv_id = t.conv_id
+      |                      AND c.turn_idx = t.turn_idx AND c.p = t.p))""".stripMargin
+
+  /** Detected ∪ coref-inherited mention set — the flagship pipeline's
+    * input universe (REL with_coref union, SURVEY §2.3). */
+  val allMentionsSql: String =
+    s"""$mentionsSql,
+       |$corefCtes,
+       |allm AS (
+       |  SELECT conv_id, turn_idx, bpos, bg FROM mentions
+       |  UNION ALL
+       |  SELECT conv_id, turn_idx, p AS bpos, bg FROM inh WHERE rn = 1)""".stripMargin
 
   val TokCte: String =
     """tk AS (

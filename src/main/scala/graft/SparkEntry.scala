@@ -108,13 +108,16 @@ object SparkEntry {
         .limit(20)),
 
     // String-similarity demos with the scale pattern a real vocabulary
-    // needs: prefix blocking (equi-join on first char) + a length band,
-    // NOT a cartesian product — at a 10⁶-term vocab all-pairs is 10¹²
-    // rows; blocked candidate generation is the pattern worth copying.
+    // needs: prefix blocking (equi-join on the first TWO chars) + a length
+    // band, NOT a cartesian product. Block-size math at a 10⁶-term vocab:
+    // a 1-char prefix leaves ~n/36 ≈ 28k terms/block → ~4·10⁸ pairs per
+    // block (still quadratic death); 2 chars × the ±2 length band cuts a
+    // block to ~10²-10³ terms → ≤10⁶ pairs/block, uniform keys, and the
+    // pair volume scales ~linearly with vocab until prefixes saturate.
     "q10_levenshtein" -> ((s, dir) => {
       val toks = docsWithTokens(s, dir)
         .select(explode(col("toks")).as("tok")).distinct()
-        .withColumn("pfx", substring(col("tok"), 1, 1))
+        .withColumn("pfx", substring(col("tok"), 1, 2))
       toks.as("A").join(toks.as("B"),
           col("A.pfx") === col("B.pfx") && col("A.tok") < col("B.tok") &&
           abs(length(col("A.tok")) - length(col("B.tok"))) <= 2)
@@ -126,7 +129,7 @@ object SparkEntry {
     "q11_jaro_winkler" -> ((s, dir) => {
       val toks = docsWithTokens(s, dir)
         .select(explode(col("toks")).as("tok")).distinct()
-        .withColumn("pfx", substring(col("tok"), 1, 1))
+        .withColumn("pfx", substring(col("tok"), 1, 2))
       toks.as("A").join(toks.as("B"),
           col("A.pfx") === col("B.pfx") && col("A.tok") < col("B.tok") &&
           abs(length(col("A.tok")) - length(col("B.tok"))) <= 2)
@@ -481,7 +484,7 @@ object SparkEntry {
         |  FROM documents)
         |SELECT a.tok AS a, b.tok AS b, CAST(levenshtein(a.tok, b.tok) AS BIGINT) AS dist
         |FROM toks a, toks b
-        |WHERE substr(a.tok, 1, 1) = substr(b.tok, 1, 1) AND a.tok < b.tok
+        |WHERE substr(a.tok, 1, 2) = substr(b.tok, 1, 2) AND a.tok < b.tok
         |  AND abs(length(a.tok) - length(b.tok)) <= 2
         |ORDER BY a, b""".stripMargin,
 
@@ -491,7 +494,7 @@ object SparkEntry {
         |  FROM documents)
         |SELECT a.tok AS a, b.tok AS b, round(jaro_winkler_similarity(a.tok, b.tok), 4) AS jw
         |FROM toks a, toks b
-        |WHERE substr(a.tok, 1, 1) = substr(b.tok, 1, 1) AND a.tok < b.tok
+        |WHERE substr(a.tok, 1, 2) = substr(b.tok, 1, 2) AND a.tok < b.tok
         |  AND abs(length(a.tok) - length(b.tok)) <= 2
         |ORDER BY a, b""".stripMargin,
 
@@ -500,18 +503,21 @@ object SparkEntry {
          |SELECT conv_id, turn_idx, bpos, bg FROM mentions
          |ORDER BY conv_id, turn_idx, bpos""".stripMargin,
 
+    // Flagship cluster oracle over the detected ∪ coref-inherited union:
+    // every mention of one bigram key (inherited ones carry their source's
+    // key) lands in one cluster whose id is the min mention_id.
     "q13_er_clusters" ->
-      s"""WITH ${QueryLib.mentionsSql}
+      s"""WITH ${QueryLib.allMentionsSql}
          |SELECT printf('%s:%06d:%06d', conv_id, turn_idx, bpos) AS mention_id,
          |       min(printf('%s:%06d:%06d', conv_id, turn_idx, bpos)) OVER (PARTITION BY bg) AS cluster_id,
          |       bg
-         |FROM mentions ORDER BY mention_id""".stripMargin,
+         |FROM allm ORDER BY mention_id""".stripMargin,
 
     "q14_cluster_sizes" ->
-      s"""WITH ${QueryLib.mentionsSql}
+      s"""WITH ${QueryLib.allMentionsSql}
          |SELECT min(printf('%s:%06d:%06d', conv_id, turn_idx, bpos)) AS cluster_id,
          |       count(*) AS size
-         |FROM mentions GROUP BY bg ORDER BY size DESC, cluster_id""".stripMargin,
+         |FROM allm GROUP BY bg ORDER BY size DESC, cluster_id""".stripMargin,
 
     "q15_block_histogram" ->
       s"""WITH ${QueryLib.mentionsSql}
@@ -704,21 +710,7 @@ object SparkEntry {
     // Coref.inheritedOfConv exactly.
     "q30_coref" ->
       s"""WITH ${QueryLib.mentionsSql},
-         |cov AS (
-         |  SELECT conv_id, turn_idx, bpos AS p FROM mentions
-         |  UNION ALL
-         |  SELECT conv_id, turn_idx, bpos + 1 FROM mentions),
-         |tok0 AS (SELECT conv_id, turn_idx, tok, CAST(pos - 1 AS BIGINT) AS p FROM tok),
-         |inh AS (
-         |  SELECT t.conv_id, t.turn_idx, t.p, m.bg,
-         |         row_number() OVER (PARTITION BY t.conv_id, t.turn_idx, t.p
-         |                            ORDER BY m.turn_idx DESC, m.bpos DESC, m.bg ASC) AS rn
-         |  FROM tok0 t
-         |  JOIN mentions m ON m.conv_id = t.conv_id AND m.turn_idx < t.turn_idx
-         |    AND (t.tok = split_part(m.bg, ' ', 1) OR t.tok = split_part(m.bg, ' ', 2))
-         |  WHERE NOT EXISTS (SELECT 1 FROM cov c
-         |                    WHERE c.conv_id = t.conv_id
-         |                      AND c.turn_idx = t.turn_idx AND c.p = t.p))
+         |${QueryLib.corefCtes}
          |SELECT conv_id, turn_idx, p AS bpos, bg FROM inh WHERE rn = 1
          |ORDER BY conv_id, turn_idx, bpos""".stripMargin,
 

@@ -36,12 +36,12 @@ object Dedup {
     else (0 to toks.length - n).map(i => toks.slice(i, i + n).mkString(" ")).distinct.sorted
   }
 
-  /** Smallest LSH row count r (a divisor of k, from 16 down) whose banding
-    * detects a pair AT the threshold with P = 1-(1-t^r)^(k/r) ≥ `minP`.
-    * Larger r ⇒ fewer false candidates but a later S-curve knee; this picks
-    * the cheapest banding that is still recall-sound at the verify
-    * threshold (round-1 advice: 16×8 banding caught a j=0.6 pair with
-    * P≈0.24 — unsound vs an exact oracle). */
+  /** LARGEST LSH row count r (a divisor of k, scanning from 16 down) whose
+    * banding detects a pair AT the threshold with P = 1-(1-t^r)^(k/r) ≥
+    * `minP`. Larger r ⇒ fewer false candidates but a later S-curve knee;
+    * this picks the cheapest banding (fewest candidates) that is still
+    * recall-sound at the verify threshold (round-1 advice: 16×8 banding
+    * caught a j=0.6 pair with P≈0.24 — unsound vs an exact oracle). */
   def autoBanding(k: Int, threshold: Double,
                   minP: Double = 0.9999): (Int, Int) = {
     val choices = Seq(16, 8, 4, 2, 1).filter(k % _ == 0)

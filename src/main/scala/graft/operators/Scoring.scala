@@ -45,15 +45,19 @@ object Scoring {
       .otherwise(1.0)
     val cos = GraftFunctions.cosineSim(col("a.ctx"), col("b.ctx"))
     // max over shared candidate entities of min(prior_a, prior_b):
-    // probability mass both surfaces put on a common entity.
+    // probability mass both surfaces put on a common entity. The b-side
+    // entity→prior map is hoisted into a lambda binding (1-element array +
+    // transform — the same CollapseProject barrier as TextFns.bindArray):
+    // written inline inside the aggregate lambda it is re-evaluated once
+    // per a-side candidate, O(|a|·|b|) map builds per row.
     val priorOverlap = expr(
-      """aggregate(
-        |  a.candidates, cast(0.0 as double),
-        |  (acc, c) -> greatest(acc, coalesce(least(
-        |       c.prior,
-        |       map_from_entries(transform(b.candidates,
-        |                                  d -> struct(d.entity, d.prior)))[c.entity]),
-        |     cast(0.0 as double))))""".stripMargin)
+      """element_at(transform(
+        |  array(map_from_entries(transform(b.candidates,
+        |                                   d -> struct(d.entity, d.prior)))),
+        |  bp -> aggregate(
+        |    a.candidates, cast(0.0 as double),
+        |    (acc, c) -> greatest(acc, coalesce(least(c.prior, bp[c.entity]),
+        |                                       cast(0.0 as double))))), 1)""".stripMargin)
     val agree = when(
       col("a.resolved") =!= "" && col("a.resolved") === col("b.resolved") &&
       col("a.resolvedScore") >= cfg.minMargin &&
@@ -77,4 +81,48 @@ object Scoring {
     withFeatures(pairs, cfg)
       .where(col("score") >= cfg.threshold)
       .select(col("a.mention_id").as("src"), col("b.mention_id").as("dst"))
+
+  // ---- fitted-model artifact (SURVEY.md D6) ----
+  //
+  // The calibrated weights + threshold are DATA, not code: persisting them
+  // as a small JSON artifact means a production re-calibration ships a new
+  // artifact, not a new jar. Hand-rolled fixed-schema JSON (same policy as
+  // TableIO manifests — no JSON library in the dependency budget).
+
+  private val ArtifactFields: Seq[(String, ScoreConfig => Double)] = Seq(
+    "wJaroWinkler" -> (_.wJaroWinkler), "wLevRatio" -> (_.wLevRatio),
+    "wCosine" -> (_.wCosine), "wPriorOverlap" -> (_.wPriorOverlap),
+    "wResolvedAgree" -> (_.wResolvedAgree), "minMargin" -> (_.minMargin),
+    "threshold" -> (_.threshold))
+
+  /** Write the fitted scoring state to `path` (a single JSON file). */
+  def saveConfig(path: String, cfg: ScoreConfig): Unit = {
+    val body = ArtifactFields
+      .map { case (k, get) => s""""$k":${get(cfg)}""" }.mkString(",")
+    val p = java.nio.file.Paths.get(path)
+    Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
+    java.nio.file.Files.write(p,
+      s"""{"artifact":"graft-score-config","version":1,$body}"""
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
+  /** Load a fitted scoring artifact written by [[saveConfig]]. Missing
+    * fields keep their code defaults (forward-compatible artifacts). */
+  def loadConfig(path: String): ScoreConfig = {
+    val s = new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
+      java.nio.charset.StandardCharsets.UTF_8)
+    def get(k: String, dflt: Double): Double =
+      (s""""$k"\\s*:\\s*(-?[0-9.eE+-]+)""").r.findFirstMatchIn(s)
+        .map(_.group(1).toDouble).getOrElse(dflt)
+    val d = ScoreConfig()
+    ScoreConfig(
+      wJaroWinkler = get("wJaroWinkler", d.wJaroWinkler),
+      wLevRatio = get("wLevRatio", d.wLevRatio),
+      wCosine = get("wCosine", d.wCosine),
+      wPriorOverlap = get("wPriorOverlap", d.wPriorOverlap),
+      wResolvedAgree = get("wResolvedAgree", d.wResolvedAgree),
+      minMargin = get("minMargin", d.minMargin),
+      threshold = get("threshold", d.threshold))
+  }
 }
