@@ -367,6 +367,28 @@ object SparkEntry {
         .toDF("doc_id", "n_fp", "fp_md5")
         .orderBy("doc_id")
     }),
+
+    // Join-based mention detection with the dictionary as an ON-DISK
+    // DIMENSION TABLE (SURVEY D3 degrade path; round-2 verdict's one real
+    // 100-TB blocker): the p(e|m) dictionary is materialized as parquet
+    // and equi-joined (bloom-prefiltered candidate explode) instead of
+    // collected into a broadcast driver Map. Must produce EXACTLY the q12
+    // mention set — same oracle; path equivalence is also property-tested
+    // against the broadcast path in MentionDetectSpec.
+    "q34_mentions_joined" -> ((s, dir) => {
+      import s.implicits._
+      val dictPath = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_q34_dict").getAbsolutePath
+      QueryLib.bigramDict.values.toSeq.sortBy(_.mention).toDS()
+        .coalesce(1).write.mode("overwrite").parquet(dictPath)
+      val dictDf = s.read.parquet(dictPath).as[DictEntry]
+      val vecsBc = s.sparkContext.broadcast(Map.empty[String, Array[Float]])
+      operators.MentionDetect.runJoined(QueryLib.turnsDs(s, dir), dictDf, vecsBc)
+        .toDF()
+        .select(col("conv_id"), col("turn_idx").cast("bigint"),
+                col("begin").cast("bigint").as("bpos"), col("norm").as("bg"))
+        .orderBy("conv_id", "turn_idx", "bpos")
+    }),
   )
 
   /** Doc-similarity edges: same conversation (source), turn distance ≤ 3,
@@ -778,5 +800,12 @@ object SparkEntry {
         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fp,
         |       md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY mh)) AS fp_md5
         |FROM sel GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // identical mention set to q12 — the operator under test is the
+    // dimension-table JOIN path, not a new detection semantics
+    "q34_mentions_joined" ->
+      s"""WITH ${QueryLib.mentionsSql}
+         |SELECT conv_id, turn_idx, bpos, bg FROM mentions
+         |ORDER BY conv_id, turn_idx, bpos""".stripMargin,
   )
 }

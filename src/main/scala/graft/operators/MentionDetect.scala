@@ -83,21 +83,30 @@ object MentionDetect {
   private def cachedMasks(dict: Dict, cacheKey: Long): Map[String, Int] =
     indexCache.computeIfAbsent(cacheKey, _ => firstTokenMasks(dict))
 
+  /** The candidate dictionary-key forms of a raw surface — the
+    * preprocess_mention cascade's probe set: exact, recased phrase,
+    * lowercase alias. All-lowercase surfaces have a single form (the three
+    * coincide), which keeps the hot detection loop at one probe. BOTH
+    * detection paths (broadcast probe and dimension-table join) derive
+    * their probes from this one function, so their semantics cannot
+    * drift. */
+  def cascadeForms(raw: String): Seq[String] = {
+    var hasUpper = false
+    var i = 0
+    while (!hasUpper && i < raw.length) { if (raw.charAt(i).isUpper) hasUpper = true; i += 1 }
+    if (!hasUpper) raw :: Nil
+    else Seq(raw, modifyUppercasePhrase(raw), raw.toLowerCase).distinct
+  }
+
   /** REL-style case-normalization cascade (preprocess_mention [M]):
     * try the exact form, then the recased phrase, then the lowercase
     * alias; among forms present in the dictionary pick the most frequent.
     * Our dictionary keys are lowercase, so for already-lower tokens this
     * is the identity — the cascade matters for raw (cased) surfaces. */
   def normalizeMention(raw: String, dict: Dict): Option[String] = {
-    // fast path for the hot detection loop: no uppercase → all three
-    // cascade forms coincide, one probe suffices
-    var hasUpper = false
-    var i = 0
-    while (!hasUpper && i < raw.length) { if (raw.charAt(i).isUpper) hasUpper = true; i += 1 }
-    if (!hasUpper) return if (dict.contains(raw)) Some(raw) else None
-    val lower = raw.toLowerCase
-    val recased = modifyUppercasePhrase(raw)
-    val forms = Seq(raw, recased, lower).distinct
+    val forms = cascadeForms(raw)
+    if (forms.lengthCompare(1) == 0)
+      return if (dict.contains(raw)) Some(raw) else None
     val present = forms.filter(dict.contains)
     if (present.isEmpty) None
     else Some(present.maxBy(f => (dict(f).freq, f)))
@@ -273,5 +282,103 @@ object MentionDetect {
         e => entityVecBc.value.getOrElse(e, Array.empty[Float])
       it.flatMap(t => mentionsOfTurn(t, dict, ev, masks))
     }
+  }
+
+  /** Join-based detection for dictionaries too large to live in a driver
+    * Map — SURVEY.md D3's own degrade path ("large: a DataFrame joined via
+    * … hash join, persisted as a Parquet/Iceberg dimension table"). A
+    * REL-scale p(e|m) table (~10M surfaces × top-K candidates ≈ several
+    * GB) cannot be collected and broadcast; this path keeps it a
+    * distributed dimension table end to end.
+    *
+    * Shape (3 shuffles, each on uniform or AQE-managed keys — the price
+    * of not broadcasting):
+    *
+    *  1. Candidate explode (map-only): every ≤[[MaxNgram]]-token span of
+    *     every turn is probed through its [[cascadeForms]] against a
+    *     BROADCAST BLOOM FILTER of the dictionary keys (built with one
+    *     scan of the dimension table; ~12 MB at 10M keys / 1% fpp — the
+    *     distributed analogue of the broadcast path's first-token masks).
+    *     Only bloom survivors leave the mapper, deduped per turn, as slim
+    *     (conv_id, turn_idx, form) rows — at ~40-token turns that is the
+    *     true dictionary hits plus ~fpp of the ~200 spans/turn, a few
+    *     rows per turn rather than hundreds.
+    *  2. Equi-join survivor forms against the dictionary on its key
+    *     (shuffle hash/sort-merge join; a Zipf-hot surface form is a hot
+    *     JOIN KEY, handled by AQE skew-join — the dictionary side holds
+    *     one row per key so no pair explosion is possible).
+    *  3. Group matches back per turn (collect the turn's mini dictionary;
+    *     bounded by spans/turn × cascade forms, so no skew exposure) and
+    *     join to the turns table on the uniform (conv_id, turn_idx) key.
+    *     Each turn then runs the IDENTICAL greedy cascade resolution as
+    *     the broadcast path over its mini dictionary: `detect` only ever
+    *     probes forms occurring in the turn, and the mini dictionary
+    *     contains exactly the dictionary's entries for those forms (bloom
+    *     false positives die in the join), so the two paths are
+    *     equivalent by construction — property-tested in
+    *     MentionDetectSpec.
+    *
+    * Turns without any dictionary hit are dropped by the inner join
+    * before the final mapper — mention-free turns (the overwhelming
+    * majority at corpus scale) never reach the resolution stage.
+    *
+    * @param expectedDictKeys sizing hint for the Bloom filter; pass <= 0
+    *   to have it counted exactly (one extra columnar count scan). */
+  def runJoined(turns: Dataset[Turn], dictDf: Dataset[DictEntry],
+                entityVecBc: Broadcast[Map[String, Array[Float]]],
+                expectedDictKeys: Long = 0L,
+                bloomFpp: Double = 0.01): Dataset[Mention] = {
+    val spark = turns.sparkSession
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val nKeys = if (expectedDictKeys > 0) expectedDictKeys
+                else math.max(dictDf.count(), 1L)
+    val bloomBc = spark.sparkContext.broadcast(
+      dictDf.stat.bloomFilter("mention", nKeys, bloomFpp))
+
+    val cands = turns.flatMap { t =>
+      val bloom = bloomBc.value
+      val toks = tokenizeCased(if (t.text == null) "" else t.text)
+      val n = toks.length
+      val forms = scala.collection.mutable.HashSet.empty[String]
+      var size = 1
+      while (size <= MaxNgram) {
+        var i = 0
+        while (i + size <= n) {
+          val raw =
+            if (size == 1) toks(i)
+            else {
+              val sb = new java.lang.StringBuilder(toks(i))
+              var k = i + 1
+              while (k < i + size) { sb.append(' ').append(toks(k)); k += 1 }
+              sb.toString
+            }
+          cascadeForms(raw).foreach { f =>
+            if (bloom.mightContain(f)) forms += f
+          }
+          i += 1
+        }
+        size += 1
+      }
+      forms.iterator.map(f => (t.conv_id, t.turn_idx, f))
+    }.toDF("conv_id", "turn_idx", "form")
+
+    val matched = cands
+      .join(dictDf.toDF(), cands("form") === dictDf("mention"))
+      .groupBy("conv_id", "turn_idx")
+      .agg(collect_list(struct(col("mention"), col("lower"),
+                               col("freq"), col("candidates"))).as("hits"))
+
+    turns.toDF().select(col("conv_id"), col("turn_idx"), col("text"))
+      .join(matched, Seq("conv_id", "turn_idx"))
+      .as[(String, Int, String, Seq[DictEntry])]
+      .mapPartitions { it =>
+        val ev: String => Array[Float] =
+          e => entityVecBc.value.getOrElse(e, Array.empty[Float])
+        it.flatMap { case (conv, turn, text, hits) =>
+          val mini: Dict = hits.iterator.map(h => h.mention -> h).toMap
+          mentionsOfTurn(Turn(conv, turn, null, text, null, null), mini, ev)
+        }
+      }
   }
 }
