@@ -30,7 +30,9 @@ object Bench {
 
   /** Materialize the bench transcript corpus (idempotent). Returns path. */
   def ensureCorpus(spark: SparkSession, cfg: TranscriptGen.GenConfig): String = {
-    val path = s"target/bench/transcripts_${cfg.nConvs}_${cfg.nEntities}"
+    // v3: corpus content changed (dict-absent abbreviated coref
+    // follow-ups) — the version tag keeps stale round-2 caches out
+    val path = s"target/bench/transcripts_v3_${cfg.nConvs}_${cfg.nEntities}"
     if (!new java.io.File(s"$path/_SUCCESS").exists()) {
       TranscriptGen.transcripts(spark, cfg)
         .write.mode("overwrite").parquet(path)

@@ -26,12 +26,33 @@ object Pipeline {
       starThreshold: Int = 2048,
       starK: Int = 3,
       ccMaxIter: Int = 50,
-      supernode: Boolean = true)
+      supernode: Boolean = true,
+      coref: Boolean = true)
 
   def mentions(turns: Dataset[Turn],
                dictBc: Broadcast[Map[String, DictEntry]],
                vecsBc: Broadcast[Map[String, Array[Float]]]): Dataset[Mention] =
     MentionDetect.run(turns, dictBc, vecsBc)
+
+  /** Flagship mention universe: detected ∪ coref-inherited (REL
+    * with_coref — SURVEY §2.3 "union with the detected set downstream").
+    * Inherited mentions occupy token positions detection left uncovered,
+    * so the union is id-disjoint by construction. The detected set feeds
+    * both the inheritance cogroup and the union — persist it (registered
+    * with the caller's CacheTracker scope) or the detection flatMap runs
+    * twice. */
+  def allMentions(turns: Dataset[Turn],
+                  dictBc: Broadcast[Map[String, DictEntry]],
+                  vecsBc: Broadcast[Map[String, Array[Float]]],
+                  cfg: Config = Config()): Dataset[Mention] = {
+    val detected = mentions(turns, dictBc, vecsBc)
+    if (!cfg.coref) detected
+    else {
+      val det = CacheTracker.register(
+        detected.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      det.unionByName(Coref.inherited(turns, det, dictBc, vecsBc))
+    }
+  }
 
   /** mentions → (mention_id, conv_id, turn_idx, begin, end, surface, norm,
     * resolved, cluster_id). Singleton mentions keep their own id.
@@ -141,13 +162,17 @@ object Pipeline {
     (scoringMs, Some(memberEdges))
   }
 
-  /** Full run from raw turns. */
+  /** Full run from raw turns: detect (∪ coref-inherit) → cluster. */
   def run(turns: Dataset[Turn],
           dict: Map[String, DictEntry],
           vecs: Map[String, Array[Float]],
-          cfg: Config = Config()): DataFrame = {
+          cfg: Config = Config()): DataFrame = CacheTracker.scoped {
     val sc = turns.sparkSession.sparkContext
-    cluster(mentions(turns, sc.broadcast(dict), sc.broadcast(vecs)), cfg)
+    val out = cluster(allMentions(turns, sc.broadcast(dict), sc.broadcast(vecs), cfg), cfg)
+    // cluster() localCheckpoints its output — the detected-mention persist
+    // registered by allMentions in THIS scope can go now
+    CacheTracker.drainUnpersist()
+    out
   }
 
   /** Checkpointed variant: every stage lands in `$root/<stage>` with a
@@ -166,7 +191,7 @@ object Pipeline {
     val vecsBc = sc.broadcast(vecs)
 
     val mentionsDf = TableIO.stage(spark, "mentions", s"$root/mentions", fingerprint) {
-      mentions(turns, dictBc, vecsBc).toDF()
+      allMentions(turns, dictBc, vecsBc, cfg).toDF()
     }
     val ms = mentionsDf.as[Mention]
     // edges checkpoint keeps scored and member edges apart (kind column)

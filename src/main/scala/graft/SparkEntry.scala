@@ -389,6 +389,23 @@ object SparkEntry {
                 col("begin").cast("bigint").as("bpos"), col("norm").as("bg"))
         .orderBy("conv_id", "turn_idx", "bpos")
     }),
+
+    // IVF-Flat ANN against a MATERIALIZED on-disk index (cell-partitioned
+    // parquet + centroid sidecar): the build pays the corpus assignment
+    // pass once; each query batch reads only its probed cells (partition
+    // pruning). Same parameters as q32 → identical results, so q32's
+    // exact oracle applies verbatim — the operator under test is the
+    // persisted-index path.
+    "q35_ann_ivf_indexed" -> ((s, dir) => {
+      val corpus = embeddings(s, dir)
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val qs = corpus.where(col("id") < 10)
+      val idxDir = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_q35_ivf_idx").getAbsolutePath
+      operators.Ann.buildIvfIndex(corpus, idxDir, nlist = 8)
+      operators.Ann.ivfTopKIndexed(s, idxDir, qs, k = 5, nprobe = 2)
+        .orderBy("q_id", "rank")
+    }),
   )
 
   /** Doc-similarity edges: same conversation (source), turn distance ≤ 3,
@@ -807,5 +824,38 @@ object SparkEntry {
       s"""WITH ${QueryLib.mentionsSql}
          |SELECT conv_id, turn_idx, bpos, bg FROM mentions
          |ORDER BY conv_id, turn_idx, bpos""".stripMargin,
+
+    // identical to q32 (same nlist/nprobe/k and deterministic centroids) —
+    // the persisted index must not change a single row
+    "q35_ann_ivf_indexed" ->
+      """WITH cents AS (
+        |  SELECT vec_id AS cell, CAST(embedding AS DOUBLE[]) AS cv
+        |  FROM embeddings ORDER BY vec_id LIMIT 8),
+        |assign AS (
+        |  SELECT id, cell FROM (
+        |    SELECT e.vec_id AS id, c.cell,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cv), 5) DESC, c.cell) AS rn
+        |    FROM embeddings e CROSS JOIN cents c)
+        |  WHERE rn = 1),
+        |probe AS (
+        |  SELECT q_id, cell FROM (
+        |    SELECT q.vec_id AS q_id, c.cell,
+        |      row_number() OVER (PARTITION BY q.vec_id
+        |        ORDER BY round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), c.cv), 5) DESC, c.cell) AS rn
+        |    FROM embeddings q CROSS JOIN cents c WHERE q.vec_id < 10)
+        |  WHERE rn <= 2),
+        |scored AS (
+        |  SELECT p.q_id, a.id,
+        |    round(list_cosine_similarity(CAST(qe.embedding AS DOUBLE[]), CAST(ce.embedding AS DOUBLE[])), 5) AS cos
+        |  FROM probe p JOIN assign a USING (cell)
+        |  JOIN embeddings qe ON qe.vec_id = p.q_id
+        |  JOIN embeddings ce ON ce.vec_id = a.id
+        |  WHERE a.id <> p.q_id)
+        |SELECT q_id, rank, id, cos FROM (
+        |  SELECT q_id, id, cos,
+        |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, id) AS BIGINT) AS rank
+        |  FROM scored)
+        |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
   )
 }

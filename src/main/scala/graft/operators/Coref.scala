@@ -32,10 +32,20 @@ import org.apache.spark.sql.Dataset
   */
 object Coref {
 
-  /** Inherited mentions only (union with the detected set downstream). */
+  /** Inherited mentions only (union with the detected set downstream).
+    *
+    * `maxSeen` bounds the inheritance-source list to the `maxSeen`
+    * NEAREST preceding mentions (default unbounded). Streaming parity:
+    * [[graft.streaming.StreamingLink]] keeps per-conversation state
+    * capped at its `MaxSeen` — batch output equals streaming output
+    * exactly when run with `maxSeen = StreamingLink.MaxSeen` (gated in
+    * StreamingLinkSpec, including a >MaxSeen-sources conversation); with
+    * the unbounded default they can diverge on conversations carrying
+    * more than MaxSeen detected mentions. */
   def inherited(turns: Dataset[Turn], mentions: Dataset[Mention],
                 dictBc: Broadcast[MentionDetect.Dict],
-                entityVecBc: Broadcast[Map[String, Array[Float]]]): Dataset[Mention] = {
+                entityVecBc: Broadcast[Map[String, Array[Float]]],
+                maxSeen: Int = Int.MaxValue): Dataset[Mention] = {
     val spark = turns.sparkSession
     import spark.implicits._
     turns.groupByKey(_.conv_id)
@@ -43,14 +53,15 @@ object Coref {
         val dict = dictBc.value
         val ev: String => Array[Float] =
           e => entityVecBc.value.getOrElse(e, Array.empty[Float])
-        inheritedOfConv(convId, ts.toArray, ms.toArray, dict, ev).iterator
+        inheritedOfConv(convId, ts.toArray, ms.toArray, dict, ev, maxSeen).iterator
       }
   }
 
   /** Pure per-conversation logic (unit-testable without Spark). */
   def inheritedOfConv(convId: String, ts: Array[Turn], ms: Array[Mention],
                       dict: MentionDetect.Dict,
-                      entityVec: String => Array[Float]): Seq[Mention] = {
+                      entityVec: String => Array[Float],
+                      maxSeen: Int = Int.MaxValue): Seq[Mention] = {
     val turnsSorted = ts.sortBy(_.turn_idx)
     val msSorted = ms.sortBy(m => (m.turn_idx, m.begin))
     val out = scala.collection.mutable.ListBuffer.empty[Mention]
@@ -115,8 +126,10 @@ object Coref {
         seenRev = (m, m.surface.toLowerCase.split(" ")) :: seenRev
         mi += 1
       }
-      // deterministic nearest-first order: (turn_idx desc, begin desc, norm asc)
+      // deterministic nearest-first order: (turn_idx desc, begin desc, norm asc);
+      // cap at the maxSeen nearest (streaming-parity bound — see `inherited`)
       seenRev = seenRev.sortBy { case (m, _) => (-m.turn_idx, -m.begin, m.norm) }
+        .take(maxSeen)
     }
     out.toList
   }

@@ -29,6 +29,12 @@ object TranscriptGen {
       zipfS: Double = 1.2,
       ambiguousPairs: Int = 5, // entity pairs sharing an ambiguous surface
       mentionProb: Double = 0.6, // fraction of turns carrying a mention
+      // Odd-index entities get NO abbreviated dictionary entry; their bare
+      // base name only ever appears as a follow-up AFTER a canonical
+      // mention in the same conversation, so it is undetectable by the
+      // dictionary and must ride coref candidate-inheritance into the
+      // clusters (REL with_coref semantics; FIXTURES.md B4 analogue).
+      corefFollowups: Boolean = true,
       seed: Long = 42L)
 
   case class GoldMention(conv_id: String, turn_idx: Int, begin: Int, end: Int,
@@ -105,6 +111,13 @@ object TranscriptGen {
       "q" + Syllables(pick(h, Syllables.length)) + Syllables(pick(splitmix64(h), Syllables.length)) + ('a' + (i % 26)).toChar + ('a' + (j % 26)).toChar
     }
 
+  /** True iff entity i's abbreviated surface has its own dictionary
+    * entry. Odd entities are the coref fixtures: their bare base name is
+    * OUT of dictionary and reaches the clusters only via candidate
+    * inheritance from an earlier canonical mention. */
+  def abbrevInDict(cfg: GenConfig, i: Int): Boolean =
+    !cfg.corefFollowups || i % 2 == 0
+
   /** The p(e|m) prior dictionary for this corpus (FIXTURES.md B2). */
   def dictEntries(cfg: GenConfig): Seq[DictEntry] = {
     val base = (0 until cfg.nEntities).flatMap { i =>
@@ -113,9 +126,11 @@ object TranscriptGen {
         DictEntry(canonicalSurface(i, cfg.seed), canonicalSurface(i, cfg.seed), 1000,
                   Array(Candidate(e, 1.0))),
         DictEntry(typoSurface(i, cfg.seed), typoSurface(i, cfg.seed), 10,
-                  Array(Candidate(e, 1.0))),
-        DictEntry(abbrevSurface(i, cfg.seed), abbrevSurface(i, cfg.seed), 300,
-                  Array(Candidate(e, 1.0))))
+                  Array(Candidate(e, 1.0)))) ++
+      (if (abbrevInDict(cfg, i))
+         Seq(DictEntry(abbrevSurface(i, cfg.seed), abbrevSurface(i, cfg.seed), 300,
+                       Array(Candidate(e, 1.0))))
+       else Seq.empty)
     }
     val amb = (0 until cfg.ambiguousPairs).map { k =>
       val s = ambiguousSurface(k, cfg.seed)
@@ -162,6 +177,11 @@ object TranscriptGen {
     val roles = Array("user", "assistant", "tool")
     val turns = scala.collection.mutable.ArrayBuffer.empty[Turn]
     val golds = scala.collection.mutable.ArrayBuffer.empty[GoldMention]
+    // entities whose CANONICAL surface was emitted in an earlier turn of
+    // this conversation — the only valid antecedents for a dict-absent
+    // abbreviated follow-up (the bare base name is a word-run of the
+    // canonical surface, so coref inheritance is guaranteed to bind it)
+    val canonicalSeen = scala.collection.mutable.HashSet.empty[Int]
     var t = 0
     while (t < nTurns) {
       val hTurn = mix(cfg.seed, 0x77L, convIdx, t.toLong)
@@ -197,8 +217,14 @@ object TranscriptGen {
           else if (u < 0.55) canonicalSurface(ei, cfg.seed)
           else if (u < 0.70) canonicalSurface(ei, cfg.seed) // cased in raw text
           else if (u < 0.85) typoSurface(ei, cfg.seed)
-          else abbrevSurface(ei, cfg.seed)
+          // dict-absent abbrev needs an in-conversation canonical
+          // antecedent for coref to inherit from; without one fall back
+          // to the canonical surface (an isolated bare name would be
+          // unlinkable by ANY with_coref-style system)
+          else if (abbrevInDict(cfg, ei) || canonicalSeen(ei)) abbrevSurface(ei, cfg.seed)
+          else canonicalSurface(ei, cfg.seed)
         val cased = u >= 0.55 && u < 0.70
+        if (surfaceLower == canonicalSurface(ei, cfg.seed)) canonicalSeen += ei
         val surfaceRaw =
           if (cased) surfaceLower.split(" ").map(_.capitalize).mkString(" ")
           else surfaceLower

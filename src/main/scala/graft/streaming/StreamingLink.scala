@@ -15,7 +15,10 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * `Coref.inheritedOfConv` (same greedy discipline, same
   * nearest-preceding rule), so a conversation linked incrementally emits
   * exactly the mentions the batch pipeline emits on the completed
-  * transcript (gated by StreamingLinkSpec).
+  * transcript WHEN the batch side runs with `maxSeen = MaxSeen` (gated by
+  * StreamingLinkSpec, including a conversation with more than MaxSeen
+  * sources); the batch default is unbounded, so conversations carrying
+  * more than [[MaxSeen]] detected mentions can diverge from it.
   *
   * State discipline for 10¹²-turn scale: state per conv_id is the list of
   * inheritance-source mentions, capped at [[MaxSeen]] most-recent (a

@@ -97,6 +97,68 @@ class AnnSpec extends SparkSpec {
     assert(a.size == 5 * 5)
   }
 
+  test("materialized IVF index: build once, query many, identical to in-memory path") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfidx").toString
+    val cents = Ann.buildIvfIndex(emb, dir, nlist = 8)
+    // centroid sidecar round-trips exactly
+    val (loaded, roundTo) = Ann.loadIvfIndexMeta(dir)
+    assert(roundTo == 5)
+    assert(loaded.map(_._1).toSeq == cents.map(_._1).toSeq)
+    assert(loaded.zip(cents).forall { case ((_, a), (_, b)) => a.sameElements(b) })
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("q_id", "rank").collect().map(_.toString).toSeq
+    val qs1 = emb.where(col("id") < 5)
+    val qs2 = emb.where(col("id") >= 5 && col("id") < 10)
+    assert(canon(Ann.ivfTopKIndexed(spark, dir, qs1, 5, 2)) ==
+           canon(Ann.ivfTopK(emb, qs1, 5, nlist = 8, nprobe = 2, centroids = Some(cents))))
+    assert(canon(Ann.ivfTopKIndexed(spark, dir, qs2, 5, 2)) ==
+           canon(Ann.ivfTopK(emb, qs2, 5, nlist = 8, nprobe = 2, centroids = Some(cents))))
+  }
+
+  test("indexed query physically reads only the probed cells (partition pruning)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfprune").toString
+    Ann.buildIvfIndex(emb, dir, nlist = 8)
+    val full = spark.read.parquet(s"$dir/data")
+    val allFiles = full.select(input_file_name()).distinct().count()
+    // the exact filter shape ivfTopKIndexed builds: literal IN on the
+    // hive partition column → pruned at planning, fewer files touched
+    val prunedFiles = full.where(col("cell").isInCollection(Seq(0L)))
+      .select(input_file_name()).distinct().count()
+    assert(allFiles >= 8, s"expected >=8 partition files, saw $allFiles")
+    assert(prunedFiles < allFiles && prunedFiles >= 1,
+      s"pruning did not engage: $prunedFiles of $allFiles files read")
+  }
+
+  test("index scale note: build-once amortizes the assignment pass (3*10^5 vectors)") {
+    import graft.functions.MinHash
+    val dim = 16
+    val n = 300000
+    val corpus = spark.range(n).as[Long].map { id =>
+      val cent = MinHash.hashEmbedding(s"ixc${id / 1000}", dim)
+      val noise = MinHash.hashEmbedding(s"ixn$id", dim)
+      (id, Array.tabulate(dim)(i => cent(i) + 0.3f * noise(i)))
+    }.toDF("id", "vec").cache()
+    corpus.count()
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfbig").toString
+    val t0 = System.nanoTime()
+    val cents = Ann.buildIvfIndex(corpus, dir, nlist = 16)
+    val tBuild = (System.nanoTime() - t0) / 1e9
+    val qs = corpus.where(col("id") % 1000 === 0 && col("id") < 5000)
+    val t1 = System.nanoTime()
+    val viaIndex = Ann.ivfTopKIndexed(spark, dir, qs, 10, 2)
+      .orderBy("q_id", "rank").collect()
+    val tIdx = (System.nanoTime() - t1) / 1e9
+    val t2 = System.nanoTime()
+    val viaRecompute = Ann.ivfTopK(corpus, qs, 10, nlist = 16, nprobe = 2,
+                                   centroids = Some(cents))
+      .orderBy("q_id", "rank").collect()
+    val tRe = (System.nanoTime() - t2) / 1e9
+    info(f"n=$n: build=$tBuild%.1fs, indexed query=$tIdx%.1fs, " +
+         f"recompute query=$tRe%.1fs (recompute pays the assignment pass per call)")
+    assert(viaIndex.map(_.toString).toSeq == viaRecompute.map(_.toString).toSeq)
+    corpus.unpersist()
+  }
+
   test("IVF Lloyd refinement keeps cell ids/dims and improves recall on clustered data") {
     import graft.functions.MinHash
     val dim = 16

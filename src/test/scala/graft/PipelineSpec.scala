@@ -16,24 +16,33 @@ class PipelineSpec extends SparkSpec {
   lazy val vecs = TranscriptGen.entityVectors(cfg, graft.operators.MentionDetect.CtxDim)
   lazy val clusters = Pipeline.run(turns, dict, vecs).cache()
 
-  test("mention detection finds exactly the gold mentions") {
-    val ms = Pipeline.mentions(turns,
-      spark.sparkContext.broadcast(dict), spark.sparkContext.broadcast(vecs))
+  test("detection finds the dictionary golds; detected ∪ inherited = ALL golds") {
+    val dictBc = spark.sparkContext.broadcast(dict)
+    val vecsBc = spark.sparkContext.broadcast(vecs)
+    val ms = Pipeline.mentions(turns, dictBc, vecsBc).cache()
     // Mention.surface is the RAW text span (cased fixtures stay cased —
     // the cascade normalizes, it must not rewrite the observed surface);
     // gold stores the lowercase form, so compare case-folded.
-    val got = ms.select(col("conv_id"), col("turn_idx"), col("begin"), col("end"),
-                        lower(col("surface")).as("surface"), col("norm"))
-      .as[(String, Int, Int, Int, String, String)].collect()
-    val gotKeys = got.map(m => (m._1, m._2, m._3, m._4, m._5)).toSet
-    val want = gold.collect()
+    def keys(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("conv_id"), col("turn_idx"), col("begin"), col("end"),
+                lower(col("surface")).as("surface"))
+        .as[(String, Int, Int, Int, String)].collect().toSet
+    val goldAll = gold.collect()
       .map(g => (g.conv_id, g.turn_idx, g.begin, g.end, g.surface)).toSet
-    val missed = want -- gotKeys
-    val spurious = gotKeys -- want
-    assert(missed.isEmpty, s"missed ${missed.size}: ${missed.take(5)}")
-    assert(spurious.isEmpty, s"spurious ${spurious.size}: ${spurious.take(5)}")
+    // coref-only golds = surfaces absent from the dictionary (the odd
+    // entities' bare base names); detection must find EXACTLY the rest
+    val goldDict = goldAll.filter(g => dict.contains(g._5))
+    val goldCoref = goldAll -- goldDict
+    assert(goldCoref.nonEmpty, "fixture must exercise dict-absent follow-ups")
+    val detected = keys(ms.toDF())
+    assert((goldDict -- detected).isEmpty, s"missed: ${(goldDict -- detected).take(5)}")
+    assert((detected -- goldDict).isEmpty, s"spurious: ${(detected -- goldDict).take(5)}")
     // every norm the cascade chose is a real dictionary key
-    assert(got.forall(m => dict.contains(m._6)))
+    assert(ms.select(col("norm")).as[String].collect().forall(dict.contains))
+    // the coref union recovers precisely the dict-absent follow-ups
+    val all = keys(Pipeline.allMentions(turns, dictBc, vecsBc).toDF())
+    assert(all == goldAll,
+      s"union missed ${(goldAll -- all).take(5)}, spurious ${(all -- goldAll).take(5)}")
   }
 
   test("pairwise F1 >= 0.99 on labeled pairs sharing a blocking key") {

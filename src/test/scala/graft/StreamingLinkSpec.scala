@@ -81,6 +81,29 @@ class StreamingLinkSpec extends SparkSpec {
     assert(seen.map(_.turnIdx).max == 199)
   }
 
+  test("batch with maxSeen=MaxSeen equals streaming on a >MaxSeen-source conversation") {
+    // >MaxSeen detected mentions in one conversation: the streaming state
+    // cap actually bites, and the capped batch run must still match it
+    // exactly (the parity contract in Coref.inherited's scaladoc). Two
+    // alternating surfaces so inheritance targets vary.
+    val many = (0 until 3 * StreamingLink.MaxSeen).map { i =>
+      val s = if (i % 2 == 0) "barack obama" else "angela merkel"
+      turn("cbig", i, s"we met $s today")
+    } ++ Seq(turn("cbig", 3 * StreamingLink.MaxSeen, "obama and merkel left"))
+    val (streamOut, seen) = StreamingLink.processBatch(
+      "cbig", many.toArray, Seq.empty, dict, noVec)
+    assert(seen.size == StreamingLink.MaxSeen) // the cap is engaged
+    val detected = many.flatMap(t => MentionDetect.mentionsOfTurn(t, dict, noVec))
+    val batchCapped = detected ++ Coref.inheritedOfConv(
+      "cbig", many.toArray, detected.toArray, dict, noVec,
+      maxSeen = StreamingLink.MaxSeen)
+    assert(streamOut.map(key).toSet == batchCapped.map(key).toSet)
+    // and the final turn's two follow-ups did inherit (cap kept enough
+    // recent sources of both surfaces)
+    val lastTurn = streamOut.filter(_.turn_idx == 3 * StreamingLink.MaxSeen)
+    assert(lastTurn.map(_.norm).toSet == Set("barack obama", "angela merkel"))
+  }
+
   test("watermarked windowed mention counts run incrementally") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Turn]
