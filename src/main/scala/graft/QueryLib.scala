@@ -96,20 +96,30 @@ object QueryLib {
     // localCheckpoint'd frames (and their SparkSessions) for the process
     // lifetime, a leak in any long-lived multi-session service
     clusterMemo.keySet.removeIf(k => k._1.sparkContext.isStopped)
-    clusterMemo.computeIfAbsent((spark, sfDir),
-      _ => Pipeline.cluster(allMentions(spark, sfDir)))
+    clusterMemo.computeIfAbsent((spark, sfDir), _ => CacheTracker.scoped {
+      // cluster() localCheckpoints its output, so allMentions' detected
+      // persist (registered in this scope) can be released right after
+      val out = Pipeline.cluster(allMentions(spark, sfDir))
+      CacheTracker.drainUnpersist()
+      out
+    })
   }
 
   /** Flagship mention set: detected ∪ coref-inherited, the REL
     * `with_coref` union (SURVEY §2.3 — "union with the detected set
     * downstream"). Inherited mentions occupy positions detection left
-    * uncovered, so the union is disjoint on mention_id by construction;
-    * dropDuplicates is a safety net, not a semantic step. */
+    * uncovered, so the union is disjoint on mention_id by construction.
+    * The detected set feeds both the union and the inheritance cogroup —
+    * persisted (caller's CacheTracker scope) so the detection flatMap
+    * executes once, not three times. */
   def allMentions(spark: SparkSession, sfDir: String): Dataset[Mention] = {
-    import spark.implicits._
-    val detected = mentions(spark, sfDir)
-    detected.unionByName(corefMentions(spark, sfDir))
-      .dropDuplicates("mention_id").as[Mention]
+    val dictBc = spark.sparkContext.broadcast(bigramDict)
+    val vecsBc = spark.sparkContext.broadcast(Map.empty[String, Array[Float]])
+    val turns = turnsDs(spark, sfDir)
+    val detected = CacheTracker.register(
+      Pipeline.mentions(turns, dictBc, vecsBc)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    detected.unionByName(Coref.inherited(turns, detected, dictBc, vecsBc))
   }
 
   /** Coref-inherited mentions (substring candidate inheritance) over the

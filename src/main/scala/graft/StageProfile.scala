@@ -3,10 +3,23 @@ package graft
 import graft.model.Turn
 import graft.operators._
 import graft.sources.TranscriptGen
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 import org.apache.spark.sql.functions._
 
-/** Dev profiling main: per-stage wall times of the ER pipeline.
-  * `sbt "runMain graft.StageProfile [nConvs] [cpus]"` */
+/** Per-stage scaling profile of the ER pipeline: wall time AND total task
+  * (executor) time per stage, one JSON line per run. Running it at
+  * several core counts on the SAME corpus decomposes the end-to-end
+  * scaling efficiency stage by stage, and the task-time column separates
+  * the two possible causes of sub-linear scaling:
+  *
+  *  - task_s roughly CONSTANT across core counts, wall_s ≈ task_s/cores →
+  *    the stage scales; any end-to-end shortfall is elsewhere.
+  *  - task_s INFLATES with core count for identical work → the cores are
+  *    stalling on shared resources (single memory bus on this box), not
+  *    on shuffle/driver serialization — per-task CPU includes the stalls.
+  *
+  * `sbt "runMain graft.StageProfile [nConvs] [cpus]"`; one JVM per level
+  * (intra-JVM heap state skews a second run — see ScalingBench). */
 object StageProfile {
   def main(args: Array[String]): Unit = {
     val nConvs = args.headOption.map(_.toInt).getOrElse(5000)
@@ -19,9 +32,21 @@ object StageProfile {
     val vecs = TranscriptGen.entityVectors(cfg, MentionDetect.CtxDim)
     val turns = spark.read.parquet(path).as[Turn]
 
+    val taskMs = new java.util.concurrent.atomic.AtomicLong()
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onTaskEnd(e: SparkListenerTaskEnd): Unit =
+        taskMs.addAndGet(e.taskInfo.duration): Unit
+    })
+    val stages = scala.collection.mutable.LinkedHashMap[String, (Double, Double)]()
     def time[T](name: String)(f: => T): T = {
-      val t0 = System.nanoTime(); val r = f
-      println(f"[stage] $name%-12s ${(System.nanoTime() - t0) / 1e9}%8.2f s"); r
+      val tm0 = taskMs.get(); val t0 = System.nanoTime()
+      val r = f
+      Thread.sleep(300) // listener bus drain
+      val wall = (System.nanoTime() - t0) / 1e9
+      val task = (taskMs.get() - tm0) / 1e3
+      stages(name) = (wall, task)
+      println(f"[stage] $name%-12s wall=$wall%8.2f s task=$task%9.1f s")
+      r
     }
 
     val nTurns = time("read")(turns.count())
@@ -30,9 +55,13 @@ object StageProfile {
     val vecsBc = spark.sparkContext.broadcast(vecs)
     val ms = Pipeline.mentions(turns, dictBc, vecsBc).cache()
     println(s"mentions=${time("mentions")(ms.count())}")
+    // coref inheritance + flagship union (the round-3 with_coref path)
+    val inh = Coref.inherited(turns, ms, dictBc, vecsBc)
+    val allMs = ms.unionByName(inh).cache()
+    println(s"all_mentions=${time("coref_union")(allMs.count())}")
     val pcfg = Pipeline.Config()
     // supernode internals, timed stage by stage
-    val msDf = ms.toDF()
+    val msDf = allMs.toDF()
     val eligible = msDf.where(col("resolved") =!= "" &&
       col("resolvedScore") >= pcfg.score.minMargin)
     val reps = eligible.groupBy("norm", "resolved").agg(min("mention_id").as("rep_id"))
@@ -57,6 +86,12 @@ object StageProfile {
     // end-to-end single shot (what Bench times)
     val (secs, nT, n) = Bench.runPipeline(spark, path, cfg)
     println(f"[stage] end2end      $secs%8.2f s  ($nT turns, $n mentions, ${nT / secs}%.0f turns/s)")
+    val stageJson = stages.map { case (k, (w, t)) =>
+      f"""{"name":"$k","wall_s":$w%.2f,"task_s":$t%.1f}"""
+    }.mkString("[", ",", "]")
+    println(f"""{"metric":"stage_profile","cpus":$cpus,"n_convs":$nConvs,""" +
+            f""""turns":$nTurns,"end2end_s":$secs%.2f,"turns_per_sec":${nT / secs}%.1f,""" +
+            s""""stages":$stageJson}""")
     spark.stop()
   }
 }
