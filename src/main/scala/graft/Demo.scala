@@ -27,7 +27,16 @@ object Demo {
 
     val dict = TranscriptGen.dict(cfg)
     val vecs = TranscriptGen.entityVectors(cfg, graft.operators.MentionDetect.CtxDim)
-    val clusters = Pipeline.run(turns, dict, vecs).cache()
+    // fitted-model artifact (SURVEY D6): the scoring weights/threshold are
+    // loaded from a JSON artifact, not taken from code defaults — a
+    // re-calibration ships a new artifact file
+    val artifact = "target/demo/score_config.json"
+    if (!new java.io.File(artifact).exists())
+      graft.operators.Scoring.saveConfig(artifact, graft.operators.Scoring.ScoreConfig())
+    val score = graft.operators.Scoring.loadConfig(artifact)
+    println(s"score config from artifact: threshold=${score.threshold}")
+    val clusters = Pipeline.run(turns, dict, vecs,
+      Pipeline.Config(score = score)).cache()
     println(s"mentions_clustered=${clusters.count()}")
     println("sample clusters (largest first):")
     clusters.groupBy("cluster_id").count()

@@ -48,12 +48,36 @@ object Coref {
                 maxSeen: Int = Int.MaxValue): Dataset[Mention] = {
     val spark = turns.sparkSession
     import spark.implicits._
-    turns.groupByKey(_.conv_id)
-      .cogroup(mentions.groupByKey(_.conv_id)) { (convId, ts, ms) =>
+    // Shuffle discipline: ONLY the fields inheritedOfConv actually reads
+    // cross the conv_id shuffle. Shipping full Mention payloads (128-byte
+    // ctx vector, ids, ED fields) and full Turn rows (role/tool/ts)
+    // through the cogroup was profiled at 26M turns as ~10× the cost of
+    // the detection stage itself — encode/shuffle/decode of fat objects,
+    // not the per-turn scan, dominates. Context vectors and mention ids
+    // of inherited mentions are recomputed inside the group from the
+    // turn text, which is orders of magnitude cheaper than shipping
+    // every detected mention's vector for the few that become sources.
+    // `select` (not a typed map) so COLUMN PRUNING reaches the source:
+    // the ctx array and the Timestamp are never even decoded.
+    import org.apache.spark.sql.functions.col
+    val slimTurns = turns.select(col("conv_id"), col("turn_idx"), col("text"))
+      .as[(String, Int, String)]
+    val slimMs = mentions.select(col("conv_id"), col("turn_idx"), col("begin"),
+        col("end"), col("surface"), col("norm"), col("candidates"))
+      .as[(String, Int, Int, Int, String, String, Array[Candidate])]
+    slimTurns.groupByKey(_._1)
+      .cogroup(slimMs.groupByKey(_._1)) { (convId, ts, ms) =>
         val dict = dictBc.value
         val ev: String => Array[Float] =
           e => entityVecBc.value.getOrElse(e, Array.empty[Float])
-        inheritedOfConv(convId, ts.toArray, ms.toArray, dict, ev, maxSeen).iterator
+        val turnArr = ts.map { case (_, idx, text) =>
+          Turn(convId, idx, null, text, null, null)
+        }.toArray
+        val msArr = ms.map { case (_, idx, b, e2, surface, norm, cands) =>
+          Mention(null, convId, idx, b, e2, surface, norm, cands,
+                  Array.empty[Float], "", 0.0)
+        }.toArray
+        inheritedOfConv(convId, turnArr, msArr, dict, ev, maxSeen).iterator
       }
   }
 
@@ -67,6 +91,17 @@ object Coref {
     val out = scala.collection.mutable.ListBuffer.empty[Mention]
     // mentions of earlier turns, most recent first; token forms lowercased
     var seenRev = List.empty[(Mention, Array[String])]
+    // Conservative SUPERSET of the tokens occurring in seen surfaces: a
+    // gram can only match a contiguous surface run if every gram token is
+    // a surface token, so one hash probe per position rejects the
+    // overwhelming majority (filler words) before any slice allocation,
+    // dictionary probe or list scan. Never evicted on maxSeen turnover —
+    // staying a superset keeps it purely an optimization; the
+    // authoritative check is still the seenRev scan. Profiled: without
+    // this guard the per-position slice+scan made coref 10× the cost of
+    // detection itself at 26M turns (10.2k core-s → the round-3 scaling
+    // session's dominant stage).
+    val seenTokens = scala.collection.mutable.HashSet.empty[String]
     var mi = 0
     turnsSorted.foreach { t =>
       // longest inheritable n-gram = longest seen surface minus one token
@@ -89,7 +124,10 @@ object Coref {
           while (i + size <= toks.length) {
             var free = true
             var p = i
-            while (p < i + size) { if (taken(p)) free = false; p += 1 }
+            while (free && p < i + size) {
+              if (taken(p) || !seenTokens.contains(lowerToks(p))) free = false
+              p += 1
+            }
             if (free) {
               val gramLower = lowerToks.slice(i, i + size)
               // not itself a dictionary hit (those are detection's job)
@@ -121,15 +159,20 @@ object Coref {
       }
       // this turn's detected mentions become inheritance sources for later
       // turns — prepended so the NEAREST preceding mention is found first
+      val miStart = mi
       while (mi < msSorted.length && msSorted(mi).turn_idx == t.turn_idx) {
         val m = msSorted(mi)
-        seenRev = (m, m.surface.toLowerCase.split(" ")) :: seenRev
+        val surfToks = m.surface.toLowerCase.split(" ")
+        surfToks.foreach(seenTokens += _)
+        seenRev = (m, surfToks) :: seenRev
         mi += 1
       }
       // deterministic nearest-first order: (turn_idx desc, begin desc, norm asc);
-      // cap at the maxSeen nearest (streaming-parity bound — see `inherited`)
-      seenRev = seenRev.sortBy { case (m, _) => (-m.turn_idx, -m.begin, m.norm) }
-        .take(maxSeen)
+      // cap at the maxSeen nearest (streaming-parity bound — see `inherited`).
+      // Re-sorting is only needed when this turn added sources.
+      if (mi != miStart)
+        seenRev = seenRev.sortBy { case (m, _) => (-m.turn_idx, -m.begin, m.norm) }
+          .take(maxSeen)
     }
     out.toList
   }

@@ -381,4 +381,65 @@ object MentionDetect {
         }
       }
   }
+
+  /** Re-run entity disambiguation against the entity-vector table as a
+    * JOIN DIMENSION instead of a broadcast Map — the embedding-side twin
+    * of [[runJoined]] (SURVEY D4: REL's Wikipedia2Vec table is millions
+    * of entities × 300 floats ≈ tens of GB; it can no more live in a
+    * driver Map than the p(e|m) dictionary can).
+    *
+    * Shape: explode each mention's candidate entities (slim id+entity
+    * rows; REL caps candidate lists at top-100, so the fan-out is
+    * bounded) → equi-join the vector dimension table on entity (hot
+    * entities are hot JOIN keys — AQE skew territory, no pair explosion:
+    * one dimension row per entity) → regroup the gathered (entity, vec)
+    * list per mention (uniform mention_id key) → re-execute the IDENTICAL
+    * Scala `resolve` (prerank + blend + margin) with the gathered
+    * vectors. Because the final step runs the same code the broadcast
+    * path runs, equivalence is exact, not approximate — property-tested
+    * in JoinedDetectSpec.
+    *
+    * `vecDf` schema: (entity: string, vec: array<float>). Missing
+    * entities resolve with the empty vector, as in the broadcast path. */
+  def resolveJoined(ms: Dataset[Mention], vecDf: DataFrame,
+                    wPrior: Double = 0.2, wCtx: Double = 0.8): Dataset[Mention] = {
+    val spark = ms.sparkSession
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val ex = ms.toDF()
+      .select(col("mention_id"), explode(col("candidates")).as("c"))
+      .select(col("mention_id"), col("c.entity").as("entity"))
+    val gathered = ex
+      .join(vecDf.select(col("entity"), col("vec")), Seq("entity"), "left")
+      .groupBy("mention_id")
+      .agg(collect_list(struct(col("entity"), col("vec"))).as("evs"))
+    ms.joinWith(gathered, ms("mention_id") === gathered("mention_id"), "left")
+      .map { case (m, row) =>
+        val lookup: Map[String, Array[Float]] =
+          if (row == null) Map.empty
+          else row.getSeq[org.apache.spark.sql.Row](1).iterator.map { r =>
+            val v = r.getSeq[Float](1)
+            r.getString(0) -> (if (v == null) Array.empty[Float] else v.toArray)
+          }.toMap
+        val (resolved, score) = resolve(m.candidates, m.ctx,
+          e => lookup.getOrElse(e, Array.empty[Float]), wPrior, wCtx)
+        m.copy(resolved = resolved, resolvedScore = score)
+      }
+  }
+
+  /** Fully join-based detection + disambiguation: BOTH reference
+    * dimension tables (p(e|m) dictionary and entity vectors) stay
+    * distributed. Span selection and context embedding don't depend on
+    * entity vectors at all, so running [[runJoined]] vector-less and then
+    * re-resolving via [[resolveJoined]] equals the broadcast path
+    * exactly. */
+  def runJoinedFull(turns: Dataset[Turn], dictDf: Dataset[DictEntry],
+                    vecDf: DataFrame,
+                    expectedDictKeys: Long = 0L,
+                    bloomFpp: Double = 0.01): Dataset[Mention] = {
+    val spark = turns.sparkSession
+    val emptyVecs = spark.sparkContext.broadcast(Map.empty[String, Array[Float]])
+    resolveJoined(
+      runJoined(turns, dictDf, emptyVecs, expectedDictKeys, bloomFpp), vecDf)
+  }
 }

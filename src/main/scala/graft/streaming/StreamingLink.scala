@@ -45,6 +45,10 @@ object StreamingLink {
                    dict: MentionDetect.Dict,
                    entityVec: String => Array[Float]): (Seq[Mention], Seq[SeenMention]) = {
     var seen = seen0
+    // token-membership guard — same optimization (and same conservative-
+    // superset semantics) as Coref.inheritedOfConv's seenTokens
+    val seenTokens = scala.collection.mutable.HashSet.empty[String]
+    seen0.foreach(s => s.surfaceLower.split(" ").foreach(seenTokens += _))
     val out = scala.collection.mutable.ListBuffer.empty[Mention]
     batch.sortBy(_.turn_idx).foreach { t =>
       val detected = MentionDetect.mentionsOfTurn(t, dict, entityVec)
@@ -65,7 +69,10 @@ object StreamingLink {
           while (i + size <= toks.length) {
             var free = true
             var p = i
-            while (p < i + size) { if (taken(p)) free = false; p += 1 }
+            while (free && p < i + size) {
+              if (taken(p) || !seenTokens.contains(lowerToks(p))) free = false
+              p += 1
+            }
             if (free) {
               val rawSurface = toks.slice(i, i + size).mkString(" ")
               if (MentionDetect.normalizeMention(rawSurface, dict).isEmpty) {
@@ -93,6 +100,7 @@ object StreamingLink {
         }
       }
       // this turn's DETECTED mentions become sources for later turns
+      detected.foreach(m => m.surface.toLowerCase.split(" ").foreach(seenTokens += _))
       seen = (seen ++ detected.map(m => SeenMention(m.turn_idx, m.begin, m.norm,
                                                     m.surface.toLowerCase, m.candidates)))
         .sortBy(s => (-s.turnIdx, -s.begin, s.norm)) // nearest-preceding first

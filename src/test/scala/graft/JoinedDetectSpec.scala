@@ -36,6 +36,23 @@ class JoinedDetectSpec extends SparkSpec {
     assert(onlyJ.isEmpty, s"join-only mentions: ${onlyJ.take(3)}")
   }
 
+  test("fully-joined path (dict AND entity vectors as dimension tables) ≡ broadcast") {
+    // the embedding-side twin of the dictionary property: REL-scale
+    // entity vectors can't broadcast either. The fixture's ambiguous
+    // surfaces make ED depend on the context-vector cosine, so this
+    // would fail if the gathered vectors differed at all.
+    val vecsBc = spark.sparkContext.broadcast(vecs)
+    val viaBroadcast = mentionKeys(
+      MentionDetect.run(turns, spark.sparkContext.broadcast(dict), vecsBc))
+    val dictDf = dict.values.toSeq.toDS().repartition(4)
+    val vecDf = vecs.toSeq.toDF("entity", "vec").repartition(3)
+    val viaJoin = mentionKeys(MentionDetect.runJoinedFull(turns, dictDf, vecDf))
+    assert(viaJoin == viaBroadcast)
+    // resolution really used the vectors: ambiguous golds resolve with
+    // sub-1.0 margins, which only happens when cosines were computed
+    assert(viaJoin.exists(m => m._7 != 1000000000L && m._6.nonEmpty))
+  }
+
   test("equivalence survives a parquet round-trip and an aggressive bloom fpp") {
     // fpp = 0.5 floods the join with bloom false positives — they must all
     // die in the dictionary join, leaving the mention set unchanged; the
