@@ -42,14 +42,15 @@ object Bench {
 
   /** One timed end-to-end pipeline run; returns (seconds, turns, clusters). */
   def runPipeline(spark: SparkSession, path: String,
-                  cfg: TranscriptGen.GenConfig): (Double, Long, Long) = {
+                  cfg: TranscriptGen.GenConfig,
+                  pcfg: Pipeline.Config = Pipeline.Config()): (Double, Long, Long) = {
     import spark.implicits._
     val dict = TranscriptGen.dict(cfg)
     val vecs = TranscriptGen.entityVectors(cfg, operators.MentionDetect.CtxDim)
     val turns = spark.read.parquet(path).as[Turn]
     val nTurns = turns.count()
     val t0 = System.nanoTime()
-    val clusters = Pipeline.run(turns, dict, vecs)
+    val clusters = Pipeline.run(turns, dict, vecs, pcfg)
     val n = clusters.count()
     ((System.nanoTime() - t0) / 1e9, nTurns, n)
   }
