@@ -107,34 +107,38 @@ object SparkEntry {
         .orderBy(desc("cnt"), asc("bg"))
         .limit(20)),
 
-    // String-similarity demos with the scale pattern a real vocabulary
-    // needs: prefix blocking (equi-join on the first TWO chars) + a length
-    // band, NOT a cartesian product. Block-size math at a 10⁶-term vocab:
-    // a 1-char prefix leaves ~n/36 ≈ 28k terms/block → ~4·10⁸ pairs per
-    // block (still quadratic death); 2 chars × the ±2 length band cuts a
-    // block to ~10²-10³ terms → ≤10⁶ pairs/block, uniform keys, and the
-    // pair volume scales ~linearly with vocab until prefixes saturate.
+    // String-similarity demos over distinct bigram SURFACE FORMS (the
+    // ER-relevant string universe — multi-word mention surfaces), with
+    // the scale pattern a real vocabulary needs: prefix blocking
+    // (equi-join on the first TWO chars) + a length band, NOT a cartesian
+    // product. Block-size math at a 10⁶-surface vocab: a 1-char prefix
+    // leaves ~n/36 ≈ 28k surfaces/block → ~4·10⁸ pairs per block (still
+    // quadratic death); 2 chars × the ±2 length band cuts a block to
+    // ~10²-10³ surfaces → ≤10⁶ pairs/block, uniform keys, and the pair
+    // volume scales ~linearly with vocab until prefixes saturate.
     "q10_levenshtein" -> ((s, dir) => {
-      val toks = docsWithTokens(s, dir)
-        .select(explode(col("toks")).as("tok")).distinct()
-        .withColumn("pfx", substring(col("tok"), 1, 2))
-      toks.as("A").join(toks.as("B"),
-          col("A.pfx") === col("B.pfx") && col("A.tok") < col("B.tok") &&
-          abs(length(col("A.tok")) - length(col("B.tok"))) <= 2)
-        .select(col("A.tok").as("a"), col("B.tok").as("b"),
-                levenshtein(col("A.tok"), col("B.tok")).cast("bigint").as("dist"))
+      val surfs = docs(s, dir)
+        .select(explode(TextFns.bigrams(TextFns.tokens(col("text")))).as("srf"))
+        .distinct()
+        .withColumn("pfx", substring(col("srf"), 1, 2))
+      surfs.as("A").join(surfs.as("B"),
+          col("A.pfx") === col("B.pfx") && col("A.srf") < col("B.srf") &&
+          abs(length(col("A.srf")) - length(col("B.srf"))) <= 2)
+        .select(col("A.srf").as("a"), col("B.srf").as("b"),
+                levenshtein(col("A.srf"), col("B.srf")).cast("bigint").as("dist"))
         .orderBy("a", "b")
     }),
 
     "q11_jaro_winkler" -> ((s, dir) => {
-      val toks = docsWithTokens(s, dir)
-        .select(explode(col("toks")).as("tok")).distinct()
-        .withColumn("pfx", substring(col("tok"), 1, 2))
-      toks.as("A").join(toks.as("B"),
-          col("A.pfx") === col("B.pfx") && col("A.tok") < col("B.tok") &&
-          abs(length(col("A.tok")) - length(col("B.tok"))) <= 2)
-        .select(col("A.tok").as("a"), col("B.tok").as("b"),
-                round(GraftFunctions.jaroWinkler(col("A.tok"), col("B.tok")), 4).as("jw"))
+      val surfs = docs(s, dir)
+        .select(explode(TextFns.bigrams(TextFns.tokens(col("text")))).as("srf"))
+        .distinct()
+        .withColumn("pfx", substring(col("srf"), 1, 2))
+      surfs.as("A").join(surfs.as("B"),
+          col("A.pfx") === col("B.pfx") && col("A.srf") < col("B.srf") &&
+          abs(length(col("A.srf")) - length(col("B.srf"))) <= 2)
+        .select(col("A.srf").as("a"), col("B.srf").as("b"),
+                round(GraftFunctions.jaroWinkler(col("A.srf"), col("B.srf")), 4).as("jw"))
         .orderBy("a", "b")
     }),
 
@@ -518,23 +522,31 @@ object SparkEntry {
         |GROUP BY 1 ORDER BY cnt DESC, bg LIMIT 20""".stripMargin,
 
     "q10_levenshtein" ->
-      """WITH toks AS (
-        |  SELECT DISTINCT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
-        |  FROM documents)
-        |SELECT a.tok AS a, b.tok AS b, CAST(levenshtein(a.tok, b.tok) AS BIGINT) AS dist
-        |FROM toks a, toks b
-        |WHERE substr(a.tok, 1, 2) = substr(b.tok, 1, 2) AND a.tok < b.tok
-        |  AND abs(length(a.tok) - length(b.tok)) <= 2
+      """WITH t AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(lower(text),'[a-z0-9]+')) AS tok,
+        |         generate_subscripts(regexp_extract_all(lower(text),'[a-z0-9]+'),1) AS pos
+        |  FROM documents),
+        |bgs AS (
+        |  SELECT DISTINCT a.tok || ' ' || b.tok AS srf
+        |  FROM t a JOIN t b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1)
+        |SELECT a.srf AS a, b.srf AS b, CAST(levenshtein(a.srf, b.srf) AS BIGINT) AS dist
+        |FROM bgs a, bgs b
+        |WHERE substr(a.srf, 1, 2) = substr(b.srf, 1, 2) AND a.srf < b.srf
+        |  AND abs(length(a.srf) - length(b.srf)) <= 2
         |ORDER BY a, b""".stripMargin,
 
     "q11_jaro_winkler" ->
-      """WITH toks AS (
-        |  SELECT DISTINCT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
-        |  FROM documents)
-        |SELECT a.tok AS a, b.tok AS b, round(jaro_winkler_similarity(a.tok, b.tok), 4) AS jw
-        |FROM toks a, toks b
-        |WHERE substr(a.tok, 1, 2) = substr(b.tok, 1, 2) AND a.tok < b.tok
-        |  AND abs(length(a.tok) - length(b.tok)) <= 2
+      """WITH t AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(lower(text),'[a-z0-9]+')) AS tok,
+        |         generate_subscripts(regexp_extract_all(lower(text),'[a-z0-9]+'),1) AS pos
+        |  FROM documents),
+        |bgs AS (
+        |  SELECT DISTINCT a.tok || ' ' || b.tok AS srf
+        |  FROM t a JOIN t b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1)
+        |SELECT a.srf AS a, b.srf AS b, round(jaro_winkler_similarity(a.srf, b.srf), 4) AS jw
+        |FROM bgs a, bgs b
+        |WHERE substr(a.srf, 1, 2) = substr(b.srf, 1, 2) AND a.srf < b.srf
+        |  AND abs(length(a.srf) - length(b.srf)) <= 2
         |ORDER BY a, b""".stripMargin,
 
     "q12_mentions" ->
