@@ -106,11 +106,21 @@ object Bench {
 
     // re-run the slowest successful query once: in a quiet window the two
     // times agree; under contention the rerun is typically much faster,
-    // flagging the whole artifact as environmental
+    // flagging the whole artifact as environmental. The session memo of
+    // the clustered frame is evicted first — without that, the rerun of
+    // q13/q14 is a memo hit (round-3: 9.46 s → 0.096 s even when quiet)
+    // and the probe always "detects" contention. Rerun failures are
+    // reported in the rerun object itself, never appended to `failed`
+    // (a first-run success must not be retro-flagged by its probe).
     val rerun = results.filterNot { case (k, _) => failed.contains(k) }
       .maxByOption(_._2.secs).map { case (worst, first) =>
-        val second = timed(worst) { SparkEntry.queries(worst)(spark, sfDir).count(): Unit }
-        (worst, first.secs, second.secs)
+        QueryLib.evictClusterMemo(spark, sfDir)
+        val t0 = System.nanoTime()
+        val second =
+          try { SparkEntry.queries(worst)(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] rerun of $worst FAILED: ${e.getMessage}"); -1.0 }
+        (worst, first.secs, second)
       }
 
     // end-to-end ER pipeline over synthetic transcripts (~6.5 turns/conv)

@@ -381,8 +381,10 @@ object SparkEntry {
     // against the broadcast path in MentionDetectSpec.
     "q34_mentions_joined" -> ((s, dir) => {
       import s.implicits._
+      // keyed by applicationId: two concurrent sessions must not race on
+      // one dimension-table path (round-3 ADVICE)
       val dictPath = new java.io.File(sys.props("java.io.tmpdir"),
-        "graft_q34_dict").getAbsolutePath
+        s"graft_q34_dict_${s.sparkContext.applicationId}").getAbsolutePath
       QueryLib.bigramDict.values.toSeq.sortBy(_.mention).toDS()
         .coalesce(1).write.mode("overwrite").parquet(dictPath)
       val dictDf = s.read.parquet(dictPath).as[DictEntry]
@@ -405,7 +407,7 @@ object SparkEntry {
         .select(col("vec_id").as("id"), col("embedding").as("vec"))
       val qs = corpus.where(col("id") < 10)
       val idxDir = new java.io.File(sys.props("java.io.tmpdir"),
-        "graft_q35_ivf_idx").getAbsolutePath
+        s"graft_q35_ivf_idx_${s.sparkContext.applicationId}").getAbsolutePath
       operators.Ann.buildIvfIndex(corpus, idxDir, nlist = 8)
       operators.Ann.ivfTopKIndexed(s, idxDir, qs, k = 5, nprobe = 2)
         .orderBy("q_id", "rank")

@@ -41,8 +41,11 @@ object StageProfile {
     def time[T](name: String)(f: => T): T = {
       val tm0 = taskMs.get(); val t0 = System.nanoTime()
       val r = f
-      Thread.sleep(300) // listener bus drain
+      // wall stops HERE — the listener-bus drain below is measurement
+      // overhead, not stage time (it inflated every published r3 stage
+      // by a constant ~0.3 s; only the task-time read needs the drain)
       val wall = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(300) // listener bus drain (task-time read only)
       val task = (taskMs.get() - tm0) / 1e3
       stages(name) = (wall, task)
       println(f"[stage] $name%-12s wall=$wall%8.2f s task=$task%9.1f s")

@@ -92,9 +92,41 @@ object TextFns {
     * DuckDB oracle (`('0x' || substr(md5(g),1,15))::UBIGINT`). Texts
     * shorter than `k` chars have no k-grams → empty fingerprint
     * (callers drop them, as the oracle's unnest naturally does).
-    * O(n·w) min-scan — fine for transcript-sized rows; swap in a
-    * monotone deque for O(n) on book-length documents. */
+    *
+    * O(n) sliding-window minimum via a monotone deque (indices of
+    * strictly increasing hash values; each index enters and leaves the
+    * deque once) — the round-3 O(n·w) min-scan re-scanned every window
+    * and was quadratic-ish for book-length documents with large w.
+    * Property-tested equal to the naive per-window scan in WinnowSpec. */
   def winnowHashes(text: String, k: Int, w: Int): Array[Long] = {
+    val s = text.toLowerCase
+    val n = s.length - k + 1
+    if (n <= 0) return Array.empty
+    val hs = Array.tabulate(n)(i => MinHash.md5Long(s.substring(i, i + k)) >>> 4)
+    val sel = scala.collection.mutable.SortedSet.empty[Long]
+    // deque of k-gram indices, hash values strictly increasing front→back
+    val dq = new Array[Int](n)
+    var lo = 0; var hi = 0 // deque = dq[lo, hi)
+    var j = 0
+    val lastStart = math.max(0, n - w)
+    var i = 0
+    while (i <= lastStart) {
+      val end = math.min(i + w, n)
+      while (j < end) {
+        while (hi > lo && hs(dq(hi - 1)) >= hs(j)) hi -= 1
+        dq(hi) = j; hi += 1
+        j += 1
+      }
+      while (dq(lo) < i) lo += 1
+      sel += hs(dq(lo))
+      i += 1
+    }
+    sel.toArray
+  }
+
+  /** Reference O(n·w) per-window min-scan — kept ONLY as the equality
+    * oracle for [[winnowHashes]]'s deque (WinnowSpec property test). */
+  private[graft] def winnowHashesNaive(text: String, k: Int, w: Int): Array[Long] = {
     val s = text.toLowerCase
     val n = s.length - k + 1
     if (n <= 0) return Array.empty

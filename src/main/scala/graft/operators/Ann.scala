@@ -276,9 +276,19 @@ object Ann {
     // so the index scan gets a LITERAL partition filter, prunable at
     // planning time
     val probed = queryCells.select("cell").distinct().as[Long].collect().toSeq
-    val index = spark.read.parquet(s"$dir/data")
+    // the IN filter lands on the RAW inferred partition column (before any
+    // cast) with literals of the column's own inferred type — partition
+    // pruning is then decided at planning time without relying on
+    // cast-unwrapping (round-3 ADVICE); the cast to long comes after, for
+    // a stable join type against queryCells
+    val index0 = spark.read.parquet(s"$dir/data")
+    val probeVals: Seq[Any] = index0.schema("cell").dataType match {
+      case org.apache.spark.sql.types.IntegerType => probed.map(_.toInt)
+      case _                                      => probed
+    }
+    val index = index0
+      .where(col("cell").isInCollection(probeVals))
       .withColumn("cell", col("cell").cast("long"))
-      .where(col("cell").isInCollection(probed))
     val scored = queryCells.join(index, "cell")
       .where(col("id") =!= col("q_id"))
       .join(broadcast(queries.select(col("id").as("q_id"), col("vec").as("q_vec"))), "q_id")
@@ -305,15 +315,6 @@ object Ann {
       .select(col("q_id"),
               round(GraftFunctions.cosineSim(col("vec"), col("q_vec")), roundTo).as("cos"),
               col("id"))
-    val topk = new TopKAgg(k).toColumn
-    scored.as[(Long, Double, Long)]
-      .map { case (q, c, id) => (q, (c, f"$id%012d")) }
-      .groupByKey(_._1)
-      .mapValues(_._2)
-      .agg(topk.name("top"))
-      .toDF("q_id", "top")
-      .select(col("q_id"), posexplode(col("top")).as(Seq("rank0", "hit")))
-      .select(col("q_id"), (col("rank0") + 1).cast("long").as("rank"),
-              col("hit._2").cast("long").as("id"), col("hit._1").as("cos"))
+    rerankTopK(scored, k)
   }
 }

@@ -70,12 +70,18 @@ object Dedup {
     import spark.implicits._
     val docs = df.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
       .as[(Long, String)]
-    val withShingles = docs.map { case (id, text) =>
-      (id, shingles(text, shingleN).toArray)
-    }.toDF("id", "sh")
+    // ONE tokenize+shingle pass over the text column (round-3 "What's
+    // wrong" #3: band keys and the verify join each re-shingled every
+    // document — three full regex passes at corpus scale). The shingle
+    // frame is persisted (registered with the caller's CacheTracker
+    // scope) and feeds the band keys AND both verify-join sides; band
+    // keys derive from the stored arrays, not from text.
+    val withShingles = graft.CacheTracker.register(
+      docs.map { case (id, text) => (id, shingles(text, shingleN).toArray) }
+        .toDF("id", "sh")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
-    val bandKeys = docs.flatMap { case (id, text) =>
-      val sh = shingles(text, shingleN)
+    val bandKeys = withShingles.as[(Long, Array[String])].flatMap { case (id, sh) =>
       if (sh.isEmpty) Iterator.empty
       else {
         val sig = MinHash.signature(sh, k)

@@ -118,15 +118,31 @@ class AnnSpec extends SparkSpec {
   test("indexed query physically reads only the probed cells (partition pruning)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ivfprune").toString
     Ann.buildIvfIndex(emb, dir, nlist = 8)
-    val full = spark.read.parquet(s"$dir/data")
-    val allFiles = full.select(input_file_name()).distinct().count()
-    // the exact filter shape ivfTopKIndexed builds: literal IN on the
-    // hive partition column → pruned at planning, fewer files touched
-    val prunedFiles = full.where(col("cell").isInCollection(Seq(0L)))
+    val allFiles = spark.read.parquet(s"$dir/data")
       .select(input_file_name()).distinct().count()
     assert(allFiles >= 8, s"expected >=8 partition files, saw $allFiles")
-    assert(prunedFiles < allFiles && prunedFiles >= 1,
-      s"pruning did not engage: $prunedFiles of $allFiles files read")
+    // pruning is asserted on ivfTopKIndexed's OWN executed plan (round-3
+    // ADVICE: a hand-built lookalike filter proved nothing about the
+    // production query): find the index scan node and read its numFiles
+    // metric after execution.
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val out = Ann.ivfTopKIndexed(spark, dir, emb.where(col("id") < 3), 5, 2)
+    out.collect()
+    // AQE wraps materialized stages in QueryStageExec LEAVES whose real
+    // plan hangs off `.plan`, not `.children` — recurse through both.
+    def scans(p: org.apache.spark.sql.execution.SparkPlan): Seq[FileSourceScanExec] =
+      p.collect {
+        case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+        case q: QueryStageExec        => scans(q.plan)
+        case f: FileSourceScanExec    => Seq(f)
+      }.flatten
+    val idxScans = scans(out.queryExecution.executedPlan)
+      .filter(_.relation.location.rootPaths.exists(_.toString.contains(dir)))
+    assert(idxScans.nonEmpty, "no FileSourceScan over the index dir in the executed plan")
+    val filesRead = idxScans.map(_.metrics("numFiles").value).sum
+    assert(filesRead < allFiles && filesRead >= 1,
+      s"pruning did not engage in the production plan: $filesRead of $allFiles files read")
   }
 
   test("index scale note: build-once amortizes the assignment pass (3*10^5 vectors)") {

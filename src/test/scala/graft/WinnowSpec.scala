@@ -43,6 +43,41 @@ class WinnowSpec extends AnyFunSuite {
     assert((h1 & h2).isEmpty)
   }
 
+  test("O(n) deque equals the naive per-window min-scan (property, many shapes)") {
+    val rnd = new scala.util.Random(7)
+    val alphabets = Seq("ab", "abcde", "abcdefghijklmnopqrstuvwxyz 0123456789")
+    for {
+      len <- Seq(0, 3, 4, 5, 6, 12, 13, 40, 200, 1000)
+      alpha <- alphabets
+      (kk, ww) <- Seq((5, 8), (3, 4), (2, 1), (4, 50))
+      rep <- 1 to 3
+    } {
+      val t = Array.fill(len)(alpha(rnd.nextInt(alpha.length))).mkString
+      val fast = TextFns.winnowHashes(t, kk, ww).toSeq
+      val slow = TextFns.winnowHashesNaive(t, kk, ww).toSeq
+      assert(fast == slow, s"mismatch len=$len k=$kk w=$ww alpha=${alpha.length} rep=$rep")
+    }
+    // adversarial: monotone-increasing and repeated-value hash runs
+    for (t <- Seq("aaaaaaaaaaaaaaaaaaaaaaaa", "abababababababababab", "abcabcabcabcabcabc")) {
+      assert(TextFns.winnowHashes(t, 3, 4).toSeq == TextFns.winnowHashesNaive(t, 3, 4).toSeq)
+    }
+  }
+
+  test("long-document timing: deque is not slower than naive at w=64") {
+    val rnd = new scala.util.Random(11)
+    val book = Array.fill(400000)(('a' + rnd.nextInt(26)).toChar).mkString
+    def time[T](f: => T): (T, Double) = {
+      val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
+    }
+    // warm both paths once
+    TextFns.winnowHashes(book, 5, 64); TextFns.winnowHashesNaive(book, 5, 64)
+    val (fast, tFast) = time(TextFns.winnowHashes(book, 5, 64).toSeq)
+    val (slow, tSlow) = time(TextFns.winnowHashesNaive(book, 5, 64).toSeq)
+    info(f"400k-char doc, w=64: deque=$tFast%.3fs naive=$tSlow%.3fs (${tSlow / tFast}%.1fx)")
+    assert(fast == slow)
+    assert(tFast <= tSlow * 1.5, f"deque unexpectedly slower: $tFast%.3f vs $tSlow%.3f")
+  }
+
   test("density: fingerprint count is ~2/(w+1) of positions, bounded") {
     // non-periodic pseudorandom text (a periodic one collapses the
     // distinct-minima set to ~period/w values)
