@@ -27,7 +27,13 @@ object Pipeline {
       starK: Int = 3,
       ccMaxIter: Int = 50,
       supernode: Boolean = true,
-      coref: Boolean = true)
+      coref: Boolean = true,
+      // one-shuffle mention stage (detect+inherit in one conv group) vs
+      // the round-3 two-pass shape (map-only detect persisted + cogroup);
+      // property-equal outputs — the flag exists so StageProfile can A/B
+      // the two shapes' scaling. Default: one-shot (fewer shuffles, no
+      // detected-mention materialization).
+      corefOneShot: Boolean = true)
 
   def mentions(turns: Dataset[Turn],
                dictBc: Broadcast[Map[String, DictEntry]],
@@ -37,19 +43,24 @@ object Pipeline {
   /** Flagship mention universe: detected ∪ coref-inherited (REL
     * with_coref — SURVEY §2.3 "union with the detected set downstream").
     * Inherited mentions occupy token positions detection left uncovered,
-    * so the union is id-disjoint by construction. The detected set feeds
-    * both the inheritance cogroup and the union — persist it (registered
-    * with the caller's CacheTracker scope) or the detection flatMap runs
-    * twice. */
+    * so the union is id-disjoint by construction.
+    *
+    * Default shape (corefOneShot): ONE shuffle of the slim turn table;
+    * detection and inheritance run together per conversation group
+    * (Coref.detectAndInherit). The legacy two-pass shape (map-only
+    * detection persisted + a turns⋈mentions cogroup + union) is kept
+    * behind the flag for A/B profiling; the two are property-equal
+    * (PipelineSpec). */
   def allMentions(turns: Dataset[Turn],
                   dictBc: Broadcast[Map[String, DictEntry]],
                   vecsBc: Broadcast[Map[String, Array[Float]]],
                   cfg: Config = Config()): Dataset[Mention] = {
-    val detected = mentions(turns, dictBc, vecsBc)
-    if (!cfg.coref) detected
+    if (!cfg.coref) mentions(turns, dictBc, vecsBc)
+    else if (cfg.corefOneShot) Coref.detectAndInherit(turns, dictBc, vecsBc)
     else {
       val det = CacheTracker.register(
-        detected.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        mentions(turns, dictBc, vecsBc)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       det.unionByName(Coref.inherited(turns, det, dictBc, vecsBc))
     }
   }
@@ -171,6 +182,45 @@ object Pipeline {
     val out = cluster(allMentions(turns, sc.broadcast(dict), sc.broadcast(vecs), cfg), cfg)
     // cluster() localCheckpoints its output — the detected-mention persist
     // registered by allMentions in THIS scope can go now
+    CacheTracker.drainUnpersist()
+    out
+  }
+
+  /** Full flagship run with BOTH reference dimension tables DISTRIBUTED —
+    * the 100-TB configuration (round-3 VERDICT task 1): a REL-scale
+    * p(e|m) dictionary (~10M surfaces × top-K candidates, several GB) and
+    * a Wikipedia2Vec-scale entity-vector table (tens of GB) can live in
+    * neither a driver Map nor an executor broadcast. No driver Map
+    * appears anywhere in this path:
+    *
+    *  - mention universe (detected ∪ coref-inherited) via
+    *    Coref.detectAndInheritJoined — Bloom-prefiltered candidate
+    *    explode, dictionary equi-join, per-conversation mini-dictionaries
+    *    (exact, not approximate — see its Scaladoc);
+    *  - entity disambiguation via MentionDetect.resolveJoined — candidate
+    *    explode against the vector dimension table, identical `resolve`
+    *    on the gathered vectors;
+    *  - then the same block → score → cluster stages as [[run]].
+    *
+    * Property-equal to the broadcast flagship on the same inputs
+    * (JoinedDetectSpec: cluster-for-cluster, incl. coref fixtures).
+    *
+    * `vecDf` schema: (entity: string, vec: array<float>). Pass
+    * `expectedDictKeys` to skip the Bloom-sizing count scan. */
+  def runJoined(turns: Dataset[Turn],
+                dictDf: Dataset[DictEntry],
+                vecDf: DataFrame,
+                cfg: Config = Config(),
+                expectedDictKeys: Long = 0L,
+                bloomFpp: Double = 0.01): DataFrame = CacheTracker.scoped {
+    val ms0 =
+      if (cfg.coref)
+        Coref.detectAndInheritJoined(turns, dictDf, expectedDictKeys, bloomFpp)
+      else
+        MentionDetect.runJoined(turns, dictDf,
+          turns.sparkSession.sparkContext.broadcast(Map.empty[String, Array[Float]]),
+          expectedDictKeys, bloomFpp)
+    val out = cluster(MentionDetect.resolveJoined(ms0, vecDf), cfg)
     CacheTracker.drainUnpersist()
     out
   }

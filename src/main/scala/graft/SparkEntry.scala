@@ -412,6 +412,25 @@ object SparkEntry {
       operators.Ann.ivfTopKIndexed(s, idxDir, qs, k = 5, nprobe = 2)
         .orderBy("q_id", "rank")
     }),
+
+    // FLAGSHIP WITH A DISTRIBUTED DICTIONARY (round-3 verdict task 1):
+    // the complete ER pipeline — detect ∪ coref-inherit → block → score →
+    // cluster — with the p(e|m) dictionary as an on-disk parquet dimension
+    // table and NO driver Map anywhere (Pipeline.runJoined). Must emit
+    // exactly q13's clusters — same oracle; path equivalence is also
+    // property-tested against the broadcast flagship in JoinedDetectSpec.
+    "q36_er_clusters_joined" -> ((s, dir) => {
+      import s.implicits._
+      val dictPath = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_q36_dict_${s.sparkContext.applicationId}").getAbsolutePath
+      QueryLib.bigramDict.values.toSeq.sortBy(_.mention).toDS()
+        .coalesce(1).write.mode("overwrite").parquet(dictPath)
+      val dictDf = s.read.parquet(dictPath).as[DictEntry]
+      val vecDf = Seq.empty[(String, Array[Float])].toDF("entity", "vec")
+      Pipeline.runJoined(QueryLib.turnsDs(s, dir), dictDf, vecDf)
+        .select(col("mention_id"), col("cluster_id"), col("norm").as("bg"))
+        .orderBy("mention_id")
+    }),
   )
 
   /** Doc-similarity edges: same conversation (source), turn distance ≤ 3,
@@ -871,5 +890,15 @@ object SparkEntry {
         |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, id) AS BIGINT) AS rank
         |  FROM scored)
         |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+
+    // identical cluster set to q13 — the operator under test is the
+    // distributed-dictionary FLAGSHIP (Pipeline.runJoined), not a new
+    // clustering semantics
+    "q36_er_clusters_joined" ->
+      s"""WITH ${QueryLib.allMentionsSql}
+         |SELECT printf('%s:%06d:%06d', conv_id, turn_idx, bpos) AS mention_id,
+         |       min(printf('%s:%06d:%06d', conv_id, turn_idx, bpos)) OVER (PARTITION BY bg) AS cluster_id,
+         |       bg
+         |FROM allm ORDER BY mention_id""".stripMargin,
   )
 }

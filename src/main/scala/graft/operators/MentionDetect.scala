@@ -80,7 +80,7 @@ object MentionDetect {
       else acc.updated(first, acc.getOrElse(first, 0) | (1 << (n - 1)))
     }
 
-  private def cachedMasks(dict: Dict, cacheKey: Long): Map[String, Int] =
+  private[operators] def cachedMasks(dict: Dict, cacheKey: Long): Map[String, Int] =
     indexCache.computeIfAbsent(cacheKey, _ => firstTokenMasks(dict))
 
   /** The candidate dictionary-key forms of a raw surface — the
@@ -336,7 +336,39 @@ object MentionDetect {
     val bloomBc = spark.sparkContext.broadcast(
       dictDf.stat.bloomFilter("mention", nKeys, bloomFpp))
 
-    val cands = turns.flatMap { t =>
+    val cands = bloomSurvivorForms(turns, bloomBc)
+
+    val matched = cands
+      .join(dictDf.toDF(), cands("form") === dictDf("mention"))
+      .groupBy("conv_id", "turn_idx")
+      .agg(collect_list(struct(col("mention"), col("lower"),
+                               col("freq"), col("candidates"))).as("hits"))
+
+    turns.toDF().select(col("conv_id"), col("turn_idx"), col("text"))
+      .join(matched, Seq("conv_id", "turn_idx"))
+      .as[(String, Int, String, Seq[DictEntry])]
+      .mapPartitions { it =>
+        val ev: String => Array[Float] =
+          e => entityVecBc.value.getOrElse(e, Array.empty[Float])
+        it.flatMap { case (conv, turn, text, hits) =>
+          val mini: Dict = hits.iterator.map(h => h.mention -> h).toMap
+          mentionsOfTurn(Turn(conv, turn, null, text, null, null), mini, ev)
+        }
+      }
+  }
+
+  /** Stage 1 of the join-based detection paths (map-only): every
+    * ≤[[MaxNgram]]-token span of every turn, probed through its
+    * [[cascadeForms]] against a broadcast Bloom of the dictionary keys;
+    * only survivors leave the mapper, deduped per turn, as slim
+    * (conv_id, turn_idx, form) rows. Shared by [[runJoined]] (turn-level
+    * regroup) and Coref.detectAndInheritJoined (conv-level regroup). */
+  private[operators] def bloomSurvivorForms(
+      turns: Dataset[Turn],
+      bloomBc: Broadcast[org.apache.spark.util.sketch.BloomFilter]): DataFrame = {
+    val spark = turns.sparkSession
+    import spark.implicits._
+    turns.flatMap { t =>
       val bloom = bloomBc.value
       val toks = tokenizeCased(if (t.text == null) "" else t.text)
       val n = toks.length
@@ -362,24 +394,6 @@ object MentionDetect {
       }
       forms.iterator.map(f => (t.conv_id, t.turn_idx, f))
     }.toDF("conv_id", "turn_idx", "form")
-
-    val matched = cands
-      .join(dictDf.toDF(), cands("form") === dictDf("mention"))
-      .groupBy("conv_id", "turn_idx")
-      .agg(collect_list(struct(col("mention"), col("lower"),
-                               col("freq"), col("candidates"))).as("hits"))
-
-    turns.toDF().select(col("conv_id"), col("turn_idx"), col("text"))
-      .join(matched, Seq("conv_id", "turn_idx"))
-      .as[(String, Int, String, Seq[DictEntry])]
-      .mapPartitions { it =>
-        val ev: String => Array[Float] =
-          e => entityVecBc.value.getOrElse(e, Array.empty[Float])
-        it.flatMap { case (conv, turn, text, hits) =>
-          val mini: Dict = hits.iterator.map(h => h.mention -> h).toMap
-          mentionsOfTurn(Turn(conv, turn, null, text, null, null), mini, ev)
-        }
-      }
   }
 
   /** Re-run entity disambiguation against the entity-vector table as a

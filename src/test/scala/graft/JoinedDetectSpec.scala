@@ -53,6 +53,55 @@ class JoinedDetectSpec extends SparkSpec {
     assert(viaJoin.exists(m => m._7 != 1000000000L && m._6.nonEmpty))
   }
 
+  test("joined FLAGSHIP (detect ∪ coref-inherit, no driver Map) ≡ broadcast flagship") {
+    // round-3 verdict task 1: the flagship mention universe — including
+    // coref inheritance and its dictionary-hit rejector — computed with
+    // the dictionary as a distributed dimension table only. Compared on
+    // full payloads (modulo resolution, which the joined path fills via
+    // resolveJoined and is covered by the next assertion).
+    val dictBc = spark.sparkContext.broadcast(dict)
+    val vecsBc = spark.sparkContext.broadcast(vecs)
+    val viaBroadcast = mentionKeys(
+      graft.Pipeline.allMentions(turns, dictBc, vecsBc))
+    val dictDf = dict.values.toSeq.toDS().repartition(4)
+    val vecDf = vecs.toSeq.toDF("entity", "vec").repartition(3)
+    val viaJoin = mentionKeys(MentionDetect.resolveJoined(
+      graft.operators.Coref.detectAndInheritJoined(turns, dictDf), vecDf))
+    assert(viaJoin.nonEmpty)
+    val onlyB = viaBroadcast -- viaJoin
+    val onlyJ = viaJoin -- viaBroadcast
+    assert(onlyB.isEmpty, s"broadcast-only mentions: ${onlyB.take(3)}")
+    assert(onlyJ.isEmpty, s"join-only mentions: ${onlyJ.take(3)}")
+  }
+
+  test("Pipeline.runJoined clusters ≡ broadcast Pipeline.run clusters (F1 fixture)") {
+    // end-to-end: the whole flagship (detect ∪ inherit → block → score →
+    // cluster) with parquet dimension tables must assign every mention to
+    // the same cluster as the driver-Map flagship — on the F1 fixture
+    // corpus (cased/typo/ambiguous/coref-followup generators all active)
+    val fcfg = TranscriptGen.GenConfig(nEntities = 120, nConvs = 200)
+    val fturns = TranscriptGen.transcripts(spark, fcfg).cache()
+    val fdict = TranscriptGen.dict(fcfg)
+    val fvecs = TranscriptGen.entityVectors(fcfg, MentionDetect.CtxDim)
+    val dir = java.nio.file.Files.createTempDirectory("graft-flagdim").toString
+    fdict.values.toSeq.sortBy(_.mention).toDS()
+      .write.mode("overwrite").parquet(s"$dir/dict")
+    fvecs.toSeq.toDF("entity", "vec").write.mode("overwrite").parquet(s"$dir/vec")
+    val dictDf = spark.read.parquet(s"$dir/dict").as[DictEntry]
+    val vecDf = spark.read.parquet(s"$dir/vec")
+    def assignments(df: org.apache.spark.sql.DataFrame) =
+      df.select("mention_id", "cluster_id").as[(String, String)].collect().toSet
+    val viaJoin = assignments(graft.Pipeline.runJoined(fturns, dictDf, vecDf))
+    val viaBroadcast = assignments(graft.Pipeline.run(fturns, fdict, fvecs))
+    assert(viaJoin == viaBroadcast)
+    // and the joined flagship independently passes the F1 gate
+    val gold = TranscriptGen.goldMentions(spark, fcfg)
+    val f1 = graft.Pipeline.pairwiseF1(
+      graft.Pipeline.runJoined(fturns, dictDf, vecDf), gold, fdict)
+    info(f"joined flagship: tp=${f1.tp} fp=${f1.fp} fn=${f1.fn} F1=${f1.f1}%.4f")
+    assert(f1.f1 >= 0.99, s"joined-flagship F1 ${f1.f1}")
+  }
+
   test("equivalence survives a parquet round-trip and an aggressive bloom fpp") {
     // fpp = 0.5 floods the join with bloom false positives — they must all
     // die in the dictionary join, leaving the mention set unchanged; the

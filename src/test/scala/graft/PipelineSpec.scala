@@ -45,6 +45,28 @@ class PipelineSpec extends SparkSpec {
       s"union missed ${(goldAll -- all).take(5)}, spurious ${(all -- goldAll).take(5)}")
   }
 
+  test("one-shuffle mention stage ≡ two-pass detect+cogroup shape (full payload)") {
+    // the flagship default (corefOneShot) must emit exactly the round-3
+    // shape's union — same ids, spans, norms, candidates, ctx vectors,
+    // resolutions — or the scaling redesign silently changed semantics
+    val dictBc = spark.sparkContext.broadcast(dict)
+    val vecsBc = spark.sparkContext.broadcast(vecs)
+    def keys(ds: org.apache.spark.sql.Dataset[graft.model.Mention]) =
+      ds.map(m => (m.mention_id, m.begin, m.end, m.surface, m.norm,
+                   m.candidates.map(c => (c.entity, c.prior)).toSeq,
+                   m.resolved, math.round(m.resolvedScore * 1e9), m.ctx.toSeq))
+        .collect().toSet
+    val oneShot = keys(Pipeline.allMentions(turns, dictBc, vecsBc,
+      Pipeline.Config(corefOneShot = true)))
+    val twoPass = keys(Pipeline.allMentions(turns, dictBc, vecsBc,
+      Pipeline.Config(corefOneShot = false)))
+    assert(oneShot.nonEmpty)
+    val onlyA = oneShot -- twoPass
+    val onlyB = twoPass -- oneShot
+    assert(onlyA.isEmpty, s"one-shot-only mentions: ${onlyA.take(3)}")
+    assert(onlyB.isEmpty, s"two-pass-only mentions: ${onlyB.take(3)}")
+  }
+
   test("pairwise F1 >= 0.99 on labeled pairs sharing a blocking key") {
     val f1 = Pipeline.pairwiseF1(clusters, gold, dict)
     info(s"tp=${f1.tp} fp=${f1.fp} fn=${f1.fn} " +
