@@ -27,12 +27,21 @@ object Demo {
 
     val dict = TranscriptGen.dict(cfg)
     val vecs = TranscriptGen.entityVectors(cfg, graft.operators.MentionDetect.CtxDim)
-    // fitted-model artifact (SURVEY D6): the scoring weights/threshold are
-    // loaded from a JSON artifact, not taken from code defaults — a
-    // re-calibration ships a new artifact file
+    // fitted-model artifact (SURVEY D6, full lifecycle): when no artifact
+    // exists, FIT the scoring weights + threshold on the corpus's labeled
+    // candidate pairs (train), persist the artifact, then load it — a
+    // re-calibration is a job run that ships a new artifact file, never a
+    // code change
     val artifact = "target/demo/score_config.json"
-    if (!new java.io.File(artifact).exists())
-      graft.operators.Scoring.saveConfig(artifact, graft.operators.Scoring.ScoreConfig())
+    if (!new java.io.File(artifact).exists()) {
+      val sc = spark.sparkContext
+      val ms = Pipeline.allMentions(turns, sc.broadcast(dict), sc.broadcast(vecs)).cache()
+      val fit = graft.operators.Calibrate.fitAndSave(
+        graft.operators.Calibrate.labeledFeaturesFromGold(ms, gold), artifact)
+      println(f"calibrated: ${fit.pairs} labeled pairs (${fit.positives} pos) " +
+              f"pair-F1=${fit.f1}%.4f threshold=${fit.cfg.threshold}%.4f")
+      ms.unpersist(); ()
+    }
     val score = graft.operators.Scoring.loadConfig(artifact)
     println(s"score config from artifact: threshold=${score.threshold}")
     val clusters = Pipeline.run(turns, dict, vecs,

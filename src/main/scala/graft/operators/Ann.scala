@@ -99,11 +99,8 @@ object Ann {
       .as[(Long, Array[Float])]
       .flatMap { case (id, vec) =>
         (0 until bands).flatMap { b =>
-          val sig = bandSignature(vec, b, rows)
-          val probes =
-            if (multiProbe == 0) Seq(sig)
-            else sig +: (0 until rows).map(r => sig ^ (1L << r))
-          probes.map(p => (s"$b:$p", id))
+          probeSignatures(bandSignature(vec, b, rows), rows, multiProbe)
+            .map(p => (s"$b:$p", id))
         }
       }.toDF("bucket", "q_id")
 
@@ -111,6 +108,13 @@ object Ann {
       .where(col("id") =!= col("q_id"))
       .select("q_id", "id").distinct()
   }
+
+  /** A query signature plus (for multiProbe=1) every signature within
+    * Hamming distance 1 — the bucket set one query probes per band
+    * (Lv et al., VLDB'07). */
+  private def probeSignatures(sig: Long, rows: Int, multiProbe: Int): Seq[Long] =
+    if (multiProbe == 0) Seq(sig)
+    else sig +: (0 until rows).map(r => sig ^ (1L << r))
 
   /** IVF (inverted-file) coarse quantization: assign every corpus vector
     * to its nearest centroid cell; queries probe only their `nprobe`
@@ -315,6 +319,103 @@ object Ann {
       .select(col("q_id"),
               round(GraftFunctions.cosineSim(col("vec"), col("q_vec")), roundTo).as("cos"),
               col("id"))
+    rerankTopK(scored, k)
+  }
+
+  // ---- materialized LSH index (round-3 verdict "What's missing" #3) ----
+  //
+  // lshTopK recomputes the corpus band buckets on every call; at 10⁹
+  // vectors that bucketing pass dominates repeated query batches, same
+  // argument as the IVF index above. buildLshIndex pays it once:
+  // (band, bucket, id, vec) rows hive-partitioned by (band, pfx) where
+  // pfx = the top `pfxBits` bits of the bucket signature — a full-bucket
+  // partition layout (2^rows dirs/band) would explode the filesystem at
+  // rows=16, while the prefix keeps directories bounded (2^pfxBits per
+  // band) and still lets one query batch read only the partitions its
+  // probes land in, via a LITERAL partition filter decided at planning
+  // time. Within a partition, rows are sorted by (bucket, id) so the
+  // residual exact-bucket equi-join scans tight row groups.
+
+  /** Build and persist a random-hyperplane LSH index for `corpus` under
+    * `dir`. Storage is bands× the corpus (each vector appears once per
+    * band) — the classic LSH space/recall trade, now on disk where it is
+    * cheap, instead of recomputed per query batch. */
+  def buildLshIndex(corpus: DataFrame, dir: String, bands: Int = 8,
+                    rows: Int = 16, pfxBits: Int = 6, roundTo: Int = 5): Unit = {
+    require(rows <= 62 && pfxBits >= 0 && pfxBits <= rows,
+            "supported: rows<=62, 0<=pfxBits<=rows")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    corpus.select(col("id"), col("vec")).as[(Long, Array[Float])]
+      .flatMap { case (id, vec) =>
+        (0 until bands).map { b =>
+          val sig = bandSignature(vec, b, rows)
+          (b, sig >>> (rows - pfxBits), sig, id, vec)
+        }
+      }.toDF("band", "pfx", "bucket", "id", "vec")
+      .repartition(col("band"), col("pfx"))
+      .sortWithinPartitions("bucket", "id")
+      .write.mode("overwrite").partitionBy("band", "pfx").parquet(s"$dir/data")
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "lsh.json"),
+      s"""{"bands":$bands,"rows":$rows,"pfxBits":$pfxBits,"roundTo":$roundTo}"""
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
+  /** (bands, rows, pfxBits, roundTo) of an index written by
+    * [[buildLshIndex]]. */
+  def loadLshIndexMeta(dir: String): (Int, Int, Int, Int) = {
+    val s = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "lsh.json")),
+      java.nio.charset.StandardCharsets.UTF_8)
+    def get(k: String): Int =
+      (s""""$k":(\\d+)""").r.findFirstMatchIn(s).get.group(1).toInt
+    (get("bands"), get("rows"), get("pfxBits"), get("roundTo"))
+  }
+
+  /** LSH top-k against a PERSISTED index: identical results to [[lshTopK]]
+    * with the same (bands, rows, multiProbe) — property-tested in AnnSpec
+    * — but the corpus bucketing pass is gone and the scan is pruned to
+    * the partitions the query probes touch.
+    *
+    * Plan shape: the probe set is collected (≤ queries × bands ×
+    * (1+rows·multiProbe) slim rows — queries are few by assumption) and
+    * turned into an OR-of-per-band-IN literal filter on the partition
+    * columns, so pruning happens at planning time; the exact-bucket match
+    * is the (band, bucket) equi-join; cosine is computed against the
+    * vectors riding IN the index (no corpus re-join), and only slim
+    * (q_id, cos, id) rows cross the dedup shuffle (a pair found in
+    * several bands scores identically, so distinct-after-score is safe
+    * and keeps vectors out of the exchange). */
+  def lshTopKIndexed(spark: org.apache.spark.sql.SparkSession, dir: String,
+                     queries: DataFrame, k: Int, multiProbe: Int = 1): DataFrame = {
+    import spark.implicits._
+    require(multiProbe <= 1, "supported: multiProbe in {0,1}")
+    val (bands, rows, pfxBits, roundTo) = loadLshIndexMeta(dir)
+    val probes = queries.select(col("id"), col("vec")).as[(Long, Array[Float])]
+      .flatMap { case (id, vec) =>
+        (0 until bands).flatMap { b =>
+          probeSignatures(bandSignature(vec, b, rows), rows, multiProbe)
+            .map(p => (b, p, id))
+        }
+      }.toDF("band", "bucket", "q_id")
+    // literal partition filter: per band, the IN-set of probed prefixes
+    // (hive partition columns infer as int on read)
+    val probedPfx = probes
+      .select(col("band"),
+              shiftrightunsigned(col("bucket"), rows - pfxBits).as("pfx"))
+      .distinct().as[(Int, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2.toInt).toSeq).toMap
+    val pruneFilter = probedPfx.toSeq.sortBy(_._1).map { case (b, pfxs) =>
+      col("band") === b && col("pfx").isInCollection(pfxs)
+    }.reduceOption(_ || _).getOrElse(lit(false))
+    val index = spark.read.parquet(s"$dir/data").where(pruneFilter)
+    val scored = probes.join(index, Seq("band", "bucket"))
+      .where(col("id") =!= col("q_id"))
+      .join(broadcast(queries.select(col("id").as("q_id"), col("vec").as("q_vec"))), "q_id")
+      .select(col("q_id"),
+              round(GraftFunctions.cosineSim(col("vec"), col("q_vec")), roundTo).as("cos"),
+              col("id"))
+      .distinct()
     rerankTopK(scored, k)
   }
 }

@@ -175,6 +175,65 @@ class AnnSpec extends SparkSpec {
     corpus.unpersist()
   }
 
+  test("materialized LSH index: build once, query many, identical to in-memory lshTopK") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-lshidx").toString
+    Ann.buildLshIndex(emb, dir, bands = 8, rows = 16, pfxBits = 6)
+    val (bands, rows, pfxBits, roundTo) = Ann.loadLshIndexMeta(dir)
+    assert((bands, rows, pfxBits, roundTo) == (8, 16, 6, 5))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("q_id", "rank").collect().map(_.toString).toSeq
+    // two different query batches against ONE build — build-once/query-many
+    val qs1 = emb.where(col("id") < 5)
+    val qs2 = emb.where(col("id") >= 5 && col("id") < 10)
+    assert(canon(Ann.lshTopKIndexed(spark, dir, qs1, 5)) ==
+           canon(Ann.lshTopK(emb, qs1, 5)))
+    assert(canon(Ann.lshTopKIndexed(spark, dir, qs2, 5)) ==
+           canon(Ann.lshTopK(emb, qs2, 5)))
+    // multiProbe=0 equivalence too (different probe set, same machinery)
+    assert(canon(Ann.lshTopKIndexed(spark, dir, qs1, 5, multiProbe = 0)) ==
+           canon(Ann.lshTopK(emb, qs1, 5, multiProbe = 0)))
+  }
+
+  test("indexed LSH query physically reads only probed (band, pfx) partitions") {
+    // clusters of EXACT duplicates: every query's own bucket is non-empty
+    // in every band, so the query can't collapse to an empty relation
+    // (AQE folds an empty join side to EmptyRelationExec and the scan
+    // disappears from the executed plan — see the multiProbe=0 caveat)
+    import graft.functions.MinHash
+    val dim = 32
+    val corpus = spark.range(1000L).as[Long]
+      .map(id => (id, MinHash.hashEmbedding(s"dup${id / 10}", dim)))
+      .toDF("id", "vec").cache()
+    corpus.count()
+    val dir = java.nio.file.Files.createTempDirectory("graft-lshprune").toString
+    Ann.buildLshIndex(corpus, dir, bands = 8, rows = 16, pfxBits = 6)
+    val allFiles = spark.read.parquet(s"$dir/data")
+      .select(input_file_name()).distinct().count()
+    assert(allFiles > 30, s"expected many partition files, saw $allFiles")
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    // multiProbe=0: one bucket per band per query — the probe set is a
+    // small fraction of the 8*2^6 partitions, so pruning must bite
+    val out = Ann.lshTopKIndexed(spark, dir,
+      corpus.where(col("id").isin(0L, 10L, 20L)), 5, multiProbe = 0)
+    val got = out.collect()
+    assert(got.nonEmpty, "duplicate clusters must produce neighbors")
+    def scans(p: org.apache.spark.sql.execution.SparkPlan): Seq[FileSourceScanExec] =
+      p.collect {
+        case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+        case q: QueryStageExec        => scans(q.plan)
+        case f: FileSourceScanExec    => Seq(f)
+      }.flatten
+    val idxScans = scans(out.queryExecution.executedPlan)
+      .filter(_.relation.location.rootPaths.exists(_.toString.contains(dir)))
+    assert(idxScans.nonEmpty, "no FileSourceScan over the LSH index dir")
+    val filesRead = idxScans.map(_.metrics("numFiles").value).sum
+    assert(filesRead >= 1 && filesRead <= 24,
+      s"pruning did not engage: $filesRead of $allFiles files read " +
+      "(3 queries x 8 bands = at most 24 probed partitions)")
+    corpus.unpersist()
+  }
+
   test("IVF Lloyd refinement keeps cell ids/dims and improves recall on clustered data") {
     import graft.functions.MinHash
     val dim = 16
