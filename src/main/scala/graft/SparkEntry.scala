@@ -431,6 +431,26 @@ object SparkEntry {
         .select(col("mention_id"), col("cluster_id"), col("norm").as("bg"))
         .orderBy("mention_id")
     }),
+
+    // Random-hyperplane LSH ANN against a MATERIALIZED on-disk index
+    // ((band, bucket-prefix)-partitioned parquet + meta sidecar): the
+    // corpus bucketing pass is paid once at build; each query batch
+    // reads only the partitions its probes land in. Hyperplane sign
+    // buckets are not SQL-expressible, so this entry has NO oracleSql —
+    // the driver records its rows-only check; exact in-memory
+    // equivalence and physical pruning are gated in AnnSpec. rows=8
+    // (256 buckets/band) keeps buckets dense at sf-test corpus sizes so
+    // the result set is non-empty.
+    "q37_ann_lsh_indexed" -> ((s, dir) => {
+      val corpus = embeddings(s, dir)
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val qs = corpus.where(col("id") < 10)
+      val idxDir = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_q37_lsh_idx_${s.sparkContext.applicationId}").getAbsolutePath
+      operators.Ann.buildLshIndex(corpus, idxDir, bands = 8, rows = 8, pfxBits = 4)
+      operators.Ann.lshTopKIndexed(s, idxDir, qs, k = 5)
+        .orderBy("q_id", "rank")
+    }),
   )
 
   /** Doc-similarity edges: same conversation (source), turn distance ≤ 3,
