@@ -117,17 +117,14 @@ object QueryLib {
     * `with_coref` union (SURVEY §2.3 — "union with the detected set
     * downstream"). Inherited mentions occupy positions detection left
     * uncovered, so the union is disjoint on mention_id by construction.
-    * The detected set feeds both the union and the inheritance cogroup —
-    * persisted (caller's CacheTracker scope) so the detection flatMap
-    * executes once, not three times. */
+    * One-shuffle shape (the round-4 flagship default): detection and
+    * inheritance run together per conversation group — no detected-set
+    * persist, no cogroup; property-equal to the two-pass union
+    * (PipelineSpec). */
   def allMentions(spark: SparkSession, sfDir: String): Dataset[Mention] = {
     val dictBc = spark.sparkContext.broadcast(bigramDict)
     val vecsBc = spark.sparkContext.broadcast(Map.empty[String, Array[Float]])
-    val turns = turnsDs(spark, sfDir)
-    val detected = CacheTracker.register(
-      Pipeline.mentions(turns, dictBc, vecsBc)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    detected.unionByName(Coref.inherited(turns, detected, dictBc, vecsBc))
+    Coref.detectAndInherit(turnsDs(spark, sfDir), dictBc, vecsBc)
   }
 
   /** Coref-inherited mentions (substring candidate inheritance) over the

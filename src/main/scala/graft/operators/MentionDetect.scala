@@ -369,31 +369,41 @@ object MentionDetect {
     val spark = turns.sparkSession
     import spark.implicits._
     turns.flatMap { t =>
-      val bloom = bloomBc.value
-      val toks = tokenizeCased(if (t.text == null) "" else t.text)
-      val n = toks.length
-      val forms = scala.collection.mutable.HashSet.empty[String]
-      var size = 1
-      while (size <= MaxNgram) {
-        var i = 0
-        while (i + size <= n) {
-          val raw =
-            if (size == 1) toks(i)
-            else {
-              val sb = new java.lang.StringBuilder(toks(i))
-              var k = i + 1
-              while (k < i + size) { sb.append(' ').append(toks(k)); k += 1 }
-              sb.toString
-            }
-          cascadeForms(raw).foreach { f =>
-            if (bloom.mightContain(f)) forms += f
-          }
-          i += 1
-        }
-        size += 1
-      }
-      forms.iterator.map(f => (t.conv_id, t.turn_idx, f))
+      probeForms(t.text, bloomBc.value).map(f => (t.conv_id, t.turn_idx, f))
     }.toDF("conv_id", "turn_idx", "form")
+  }
+
+  /** The deduped candidate dictionary-key forms of ONE turn: every
+    * ≤[[MaxNgram]]-token span, through its [[cascadeForms]], filtered by
+    * the dictionary-key Bloom. The per-turn kernel shared by
+    * [[bloomSurvivorForms]] (batch) and StreamingLink.mentionsJoined
+    * (stream-static join path). */
+  private[graft] def probeForms(
+      text: String,
+      bloom: org.apache.spark.util.sketch.BloomFilter): Iterator[String] = {
+    val toks = tokenizeCased(if (text == null) "" else text)
+    val n = toks.length
+    val forms = scala.collection.mutable.HashSet.empty[String]
+    var size = 1
+    while (size <= MaxNgram) {
+      var i = 0
+      while (i + size <= n) {
+        val raw =
+          if (size == 1) toks(i)
+          else {
+            val sb = new java.lang.StringBuilder(toks(i))
+            var k = i + 1
+            while (k < i + size) { sb.append(' ').append(toks(k)); k += 1 }
+            sb.toString
+          }
+        cascadeForms(raw).foreach { f =>
+          if (bloom.mightContain(f)) forms += f
+        }
+        i += 1
+      }
+      size += 1
+    }
+    forms.iterator
   }
 
   /** Re-run entity disambiguation against the entity-vector table as a

@@ -166,4 +166,96 @@ object StreamingLink {
           }
       }
   }
+
+  /** One probe/hit row of the streaming joined path — a turn sentinel
+    * (mention = "") or one dictionary hit of that turn. freq = -1 marks
+    * no-hit; candidates ride as an (possibly empty) array so the row
+    * stays null-free for the product encoder. */
+  case class ProbeRow(conv_id: String, turn_idx: Int, text: String,
+                      mention: String, lower: String, freq: Long,
+                      candidates: Array[Candidate])
+
+  /** [[mentions]] with the p(e|m) dictionary as a STATIC DIMENSION TABLE
+    * instead of a broadcast Map — the streaming twin of
+    * Pipeline.runJoined (a REL-scale dictionary is no more broadcastable
+    * to a streaming job than to a batch one).
+    *
+    * Plan shape, all Structured-Streaming-legal:
+    *
+    *  1. Stateless stream map: each turn emits its Bloom-surviving
+    *     candidate forms (MentionDetect.probeForms — the identical
+    *     kernel the batch join path uses) PLUS one sentinel row, so
+    *     hit-less turns still reach the stateful stage (they can inherit
+    *     even when they detect nothing).
+    *  2. STREAM-STATIC left outer join against the dictionary — per
+    *     micro-batch, stateless, no watermark needed on the static side.
+    *  3. groupByKey(conv_id) + flatMapGroupsWithState: rebuild the
+    *     micro-batch's per-conversation MINI-dictionary from the joined
+    *     hits and run the IDENTICAL [[processBatch]] kernel over the
+    *     batch's turns with it. Exactness argument as in
+    *     Coref.detectAndInheritJoined: every form the kernel probes
+    *     (detection spans AND the inheritance rejector's grams) is built
+    *     from the batch's own turn tokens, so a real dictionary key was
+    *     emitted in step 1, survived the Bloom (no false negatives), and
+    *     joined with its true entry; a non-key cannot enter the
+    *     mini-dict (Bloom false positives die in the join). The
+    *     mini-dict therefore answers every probe exactly like the
+    *     broadcast Map — parity with [[mentions]] gated in
+    *     StreamingLinkSpec across mid-conversation batch splits.
+    *
+    * The Bloom is built once at query-definition time from the static
+    * dictionary (setup cost, not per-batch). Inheritance state is the
+    * same capped [[ConvState]]; the mini-dict is NOT state — each
+    * micro-batch brings its own. */
+  def mentionsJoined(turns: Dataset[Turn], dictDf: Dataset[DictEntry],
+                     entityVecBc: Broadcast[Map[String, Array[Float]]],
+                     expectedDictKeys: Long = 0L, bloomFpp: Double = 0.01,
+                     timeout: GroupStateTimeout = GroupStateTimeout.ProcessingTimeTimeout)
+      : Dataset[Mention] = {
+    val spark = turns.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val nKeys = if (expectedDictKeys > 0) expectedDictKeys
+                else math.max(dictDf.count(), 1L)
+    val bloomBc = spark.sparkContext.broadcast(
+      dictDf.stat.bloomFilter("mention", nKeys, bloomFpp))
+    val probes = turns.flatMap { t =>
+      val text = if (t.text == null) "" else t.text
+      val fs = MentionDetect.probeForms(text, bloomBc.value).toSeq
+      ("" +: fs).map(f => (t.conv_id, t.turn_idx, text, f))
+    }.toDF("conv_id", "turn_idx", "text", "form")
+    val joined = probes
+      .join(dictDf.toDF(), probes("form") === dictDf("mention"), "left_outer")
+      .select(col("conv_id"), col("turn_idx"), col("text"),
+              coalesce(col("mention"), lit("")).as("mention"),
+              coalesce(col("lower"), lit("")).as("lower"),
+              coalesce(col("freq"), lit(-1L)).as("freq"),
+              coalesce(col("candidates"),
+                       typedLit(Array.empty[Candidate])).as("candidates"))
+      .as[ProbeRow]
+    val armTimeout = timeout == GroupStateTimeout.ProcessingTimeTimeout
+    joined.groupByKey(_.conv_id)
+      .flatMapGroupsWithState[ConvState, Mention](OutputMode.Append, timeout) {
+        (convId, it, state: GroupState[ConvState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val rows = it.toArray
+            val batch = rows.iterator.map(r => (r.turn_idx, r.text)).toSet
+              .toArray.map { case (i, txt) => Turn(convId, i, null, txt, null, null) }
+            val mini: MentionDetect.Dict = rows.iterator
+              .filter(_.freq >= 0L)
+              .map(r => r.mention -> DictEntry(r.mention, r.lower, r.freq, r.candidates))
+              .toMap
+            val ev: String => Array[Float] =
+              e => entityVecBc.value.getOrElse(e, Array.empty[Float])
+            val seen0 = state.getOption.map(_.seen).getOrElse(Seq.empty)
+            val (ms, seen) = processBatch(convId, batch, seen0, mini, ev)
+            state.update(ConvState(seen))
+            if (armTimeout) state.setTimeoutDuration(IdleTimeoutMs)
+            ms.iterator
+          }
+      }
+  }
 }

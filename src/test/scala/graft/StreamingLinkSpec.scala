@@ -61,6 +61,56 @@ class StreamingLinkSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("joined streaming (dictionary as static dimension table) equals broadcast streaming") {
+    // the streaming twin of Pipeline.runJoined: same turns, same batch
+    // split, dictionary as a DataFrame only — output must match the
+    // broadcast-Map streaming path exactly (and therefore the batch
+    // reference). fpp=0.5 floods the stream-static join with bloom false
+    // positives, which must all die in the left join's null side.
+    implicit val sqlCtx = spark.sqlContext
+    val dictDf = dict.values.toSeq.toDS().repartition(3)
+    for (fpp <- Seq(0.01, 0.5)) {
+      val input = MemoryStream[Turn]
+      val qn = s"stream_mentions_joined_${(fpp * 100).toInt}"
+      val q = StreamingLink.mentionsJoined(input.toDS(), dictDf, vecsBc,
+          bloomFpp = fpp,
+          timeout = org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout)
+        .writeStream.format("memory").queryName(qn)
+        .outputMode(OutputMode.Append).start()
+      try {
+        input.addData(allTurns.take(2))
+        q.processAllAvailable()
+        input.addData(allTurns.drop(2))
+        q.processAllAvailable()
+        val got = spark.table(qn).as[Mention].collect().map(key).toSet
+        assert(got == batchReference(allTurns),
+          s"fpp=$fpp\nstream=$got\nbatch=${batchReference(allTurns)}")
+      } finally q.stop()
+    }
+  }
+
+  test("joined streaming: hit-less turns still inherit (sentinel row path)") {
+    // c1 turn 1/2 contain no dictionary hit at all — they reach the
+    // stateful stage only via the sentinel rows and must still inherit
+    implicit val sqlCtx = spark.sqlContext
+    val dictDf = dict.values.toSeq.toDS()
+    val input = MemoryStream[Turn]
+    val q = StreamingLink.mentionsJoined(input.toDS(), dictDf, vecsBc,
+        timeout = org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout)
+      .writeStream.format("memory").queryName("stream_sentinel")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(Seq(turn("c7", 0, "we met barack obama today")))
+      q.processAllAvailable()
+      input.addData(Seq(turn("c7", 1, "obama spoke")))
+      q.processAllAvailable()
+      val got = spark.table("stream_sentinel").as[Mention].collect()
+      assert(got.length == 2)
+      assert(got.exists(m => m.turn_idx == 1 && m.norm == "barack obama"),
+        s"inherited mention missing: ${got.toSeq}")
+    } finally q.stop()
+  }
+
   test("per-batch kernel: state carries inheritance sources forward") {
     val (out1, seen1) = StreamingLink.processBatch(
       "c1", Array(allTurns(0)), Seq.empty, dict, noVec)
