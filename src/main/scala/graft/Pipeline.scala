@@ -235,14 +235,50 @@ object Pipeline {
                       fingerprint: String,
                       cfg: Config = Config()): DataFrame = CacheTracker.scoped {
     val spark = turns.sparkSession
-    import spark.implicits._
     val sc = spark.sparkContext
     val dictBc = sc.broadcast(dict)
     val vecsBc = sc.broadcast(vecs)
-
     val mentionsDf = TableIO.stage(spark, "mentions", s"$root/mentions", fingerprint) {
       allMentions(turns, dictBc, vecsBc, cfg).toDF()
     }
+    checkpointedTail(spark, mentionsDf, root, fingerprint, cfg)
+  }
+
+  /** [[runCheckpointed]] for the DISTRIBUTED-dimension flagship: the
+    * 100-TB configuration ([[runJoined]]) with every stage landing in a
+    * resumable checkpoint table — a multi-day production run over a
+    * beyond-broadcast dictionary must survive restarts too (north_rule
+    * resumability). Stage tables and resume semantics are identical to
+    * the broadcast variant; only the mention stage differs (joined
+    * detect ∪ inherit + joined ED). */
+  def runJoinedCheckpointed(turns: Dataset[Turn],
+                            dictDf: Dataset[DictEntry],
+                            vecDf: DataFrame,
+                            root: String,
+                            fingerprint: String,
+                            cfg: Config = Config(),
+                            expectedDictKeys: Long = 0L,
+                            bloomFpp: Double = 0.01): DataFrame = CacheTracker.scoped {
+    val spark = turns.sparkSession
+    val mentionsDf = TableIO.stage(spark, "mentions", s"$root/mentions", fingerprint) {
+      val ms0 =
+        if (cfg.coref)
+          Coref.detectAndInheritJoined(turns, dictDf, expectedDictKeys, bloomFpp)
+        else
+          MentionDetect.runJoined(turns, dictDf,
+            spark.sparkContext.broadcast(Map.empty[String, Array[Float]]),
+            expectedDictKeys, bloomFpp)
+      MentionDetect.resolveJoined(ms0, vecDf).toDF()
+    }
+    checkpointedTail(spark, mentionsDf, root, fingerprint, cfg)
+  }
+
+  /** Shared block→score→cluster checkpoint chain over a (possibly
+    * resumed) mentions stage table. */
+  private def checkpointedTail(spark: SparkSession, mentionsDf: DataFrame,
+                               root: String, fingerprint: String,
+                               cfg: Config): DataFrame = {
+    import spark.implicits._
     val ms = mentionsDf.as[Mention]
     // edges checkpoint keeps scored and member edges apart (kind column)
     // so the clusters stage can run CC on the small scored graph only.

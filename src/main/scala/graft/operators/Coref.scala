@@ -173,10 +173,8 @@ object Coref {
     val spark = turns.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.functions._
-    val nKeys = if (expectedDictKeys > 0) expectedDictKeys
-                else math.max(dictDf.count(), 1L)
     val bloomBc = spark.sparkContext.broadcast(
-      dictDf.stat.bloomFilter("mention", nKeys, bloomFpp))
+      MentionDetect.dictKeyBloom(dictDf, expectedDictKeys, bloomFpp))
 
     val convForms = MentionDetect.bloomSurvivorForms(turns, bloomBc)
       .select(col("conv_id"), col("form")).distinct()

@@ -331,10 +331,8 @@ object MentionDetect {
     val spark = turns.sparkSession
     import org.apache.spark.sql.functions._
     import spark.implicits._
-    val nKeys = if (expectedDictKeys > 0) expectedDictKeys
-                else math.max(dictDf.count(), 1L)
     val bloomBc = spark.sparkContext.broadcast(
-      dictDf.stat.bloomFilter("mention", nKeys, bloomFpp))
+      dictKeyBloom(dictDf, expectedDictKeys, bloomFpp))
 
     val cands = bloomSurvivorForms(turns, bloomBc)
 
@@ -371,6 +369,25 @@ object MentionDetect {
     turns.flatMap { t =>
       probeForms(t.text, bloomBc.value).map(f => (t.conv_id, t.turn_idx, f))
     }.toDF("conv_id", "turn_idx", "form")
+  }
+
+  /** Bloom filter over the dictionary's key column, shared by every
+    * join-based path (batch, conv-level, streaming). A sentinel "" row is
+    * unioned in so an EMPTY dictionary yields an empty-but-valid filter
+    * ("" is never a probe — probe forms are built from non-empty tokens);
+    * Spark's stat.bloomFilter NPEs on zero input rows otherwise.
+    * `expectedDictKeys` <= 0 ⇒ one exact count scan for sizing. */
+  private[graft] def dictKeyBloom(dictDf: Dataset[DictEntry],
+                                  expectedDictKeys: Long,
+                                  fpp: Double): org.apache.spark.util.sketch.BloomFilter = {
+    val spark = dictDf.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val nKeys = 1L + (if (expectedDictKeys > 0) expectedDictKeys
+                      else math.max(dictDf.count(), 1L))
+    dictDf.toDF().select(col("mention"))
+      .unionByName(Seq("").toDF("mention"))
+      .stat.bloomFilter("mention", nKeys, fpp)
   }
 
   /** The deduped candidate dictionary-key forms of ONE turn: every

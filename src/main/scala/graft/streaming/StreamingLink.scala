@@ -215,10 +215,8 @@ object StreamingLink {
     val spark = turns.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.functions._
-    val nKeys = if (expectedDictKeys > 0) expectedDictKeys
-                else math.max(dictDf.count(), 1L)
     val bloomBc = spark.sparkContext.broadcast(
-      dictDf.stat.bloomFilter("mention", nKeys, bloomFpp))
+      MentionDetect.dictKeyBloom(dictDf, expectedDictKeys, bloomFpp))
     val probes = turns.flatMap { t =>
       val text = if (t.text == null) "" else t.text
       val fs = MentionDetect.probeForms(text, bloomBc.value).toSeq

@@ -102,6 +102,29 @@ class JoinedDetectSpec extends SparkSpec {
     assert(f1.f1 >= 0.99, s"joined-flagship F1 ${f1.f1}")
   }
 
+  test("runJoinedCheckpointed ≡ runJoined; same-fingerprint rerun RESUMES from stage tables") {
+    val dictDf = dict.values.toSeq.toDS().repartition(4)
+    val vecDf = vecs.toSeq.toDF("entity", "vec").repartition(3)
+    val root = java.nio.file.Files.createTempDirectory("graft-joinedckpt").toString
+    def assignments(df: org.apache.spark.sql.DataFrame) =
+      df.select("mention_id", "cluster_id").as[(String, String)].collect().toSet
+    val direct = assignments(graft.Pipeline.runJoined(turns, dictDf, vecDf))
+    val ckpt = assignments(
+      graft.Pipeline.runJoinedCheckpointed(turns, dictDf, vecDf, root, "fp1"))
+    assert(ckpt == direct)
+    // resume proof: rerun with the SAME fingerprint but EMPTY inputs —
+    // a recompute would emit nothing; a resume reads the stage tables
+    val emptyTurns = spark.emptyDataset[Turn]
+    val emptyDict = spark.emptyDataset[DictEntry]
+    val resumed = assignments(graft.Pipeline.runJoinedCheckpointed(
+      emptyTurns, emptyDict, vecDf.limit(0), root, "fp1"))
+    assert(resumed == direct, "same-fingerprint rerun recomputed instead of resuming")
+    // changed fingerprint ⇒ recompute (now over the empty inputs)
+    val recomputed = assignments(graft.Pipeline.runJoinedCheckpointed(
+      emptyTurns, emptyDict, vecDf.limit(0), root, "fp2"))
+    assert(recomputed.isEmpty)
+  }
+
   test("equivalence survives a parquet round-trip and an aggressive bloom fpp") {
     // fpp = 0.5 floods the join with bloom false positives — they must all
     // die in the dictionary join, leaving the mention set unchanged; the
