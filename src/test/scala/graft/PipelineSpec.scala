@@ -67,6 +67,44 @@ class PipelineSpec extends SparkSpec {
     assert(onlyB.isEmpty, s"two-pass-only mentions: ${onlyB.take(3)}")
   }
 
+  test("shape equivalences hold across varied corpora (seed/skew/ambiguity/turn-length)") {
+    // one-shot ≡ two-pass ≡ joined must not be a property of the default
+    // fixture: re-assert on corpora with hot Zipf skew + dense mentions,
+    // short sparse conversations, and ambiguity-heavy dictionaries
+    import graft.operators.{Coref, MentionDetect}
+    val configs = Seq(
+      TranscriptGen.GenConfig(nEntities = 80, nConvs = 120, seed = 7L,
+                              zipfS = 1.8, mentionProb = 0.95),
+      TranscriptGen.GenConfig(nEntities = 300, nConvs = 150, seed = 13L,
+                              minTurns = 1, maxTurns = 4, mentionProb = 0.25),
+      TranscriptGen.GenConfig(nEntities = 40, nConvs = 100, seed = 99L,
+                              ambiguousPairs = 15))
+    configs.foreach { c =>
+      val t = TranscriptGen.transcripts(spark, c).cache()
+      val d = TranscriptGen.dict(c)
+      val v = TranscriptGen.entityVectors(c, MentionDetect.CtxDim)
+      val dictBc = spark.sparkContext.broadcast(d)
+      val vecsBc = spark.sparkContext.broadcast(v)
+      def keys(ds: org.apache.spark.sql.Dataset[graft.model.Mention]) =
+        ds.map(m => (m.mention_id, m.begin, m.end, m.norm, m.resolved,
+                     math.round(m.resolvedScore * 1e9)))
+          .collect().toSet
+      val oneShot = keys(Pipeline.allMentions(t, dictBc, vecsBc))
+      assert(oneShot.nonEmpty, s"empty mention set for $c")
+      val twoPass = keys(Pipeline.allMentions(t, dictBc, vecsBc,
+        Pipeline.Config(corefOneShot = false)))
+      assert(oneShot == twoPass, s"one-shot != two-pass for $c: " +
+        s"onlyA=${(oneShot -- twoPass).take(3)} onlyB=${(twoPass -- oneShot).take(3)}")
+      val dictDf = d.values.toSeq.toDS().repartition(3)
+      val vecDf = v.toSeq.toDF("entity", "vec").repartition(2)
+      val joined = keys(MentionDetect.resolveJoined(
+        Coref.detectAndInheritJoined(t, dictDf), vecDf))
+      assert(joined == oneShot, s"joined != broadcast for $c: " +
+        s"onlyJ=${(joined -- oneShot).take(3)} onlyB=${(oneShot -- joined).take(3)}")
+      t.unpersist(); ()
+    }
+  }
+
   test("pairwise F1 >= 0.99 on labeled pairs sharing a blocking key") {
     val f1 = Pipeline.pairwiseF1(clusters, gold, dict)
     info(s"tp=${f1.tp} fp=${f1.fp} fn=${f1.fn} " +
