@@ -451,6 +451,67 @@ object SparkEntry {
       operators.Ann.lshTopKIndexed(s, idxDir, qs, k = 5)
         .orderBy("q_id", "rank")
     }),
+
+    // ---- generic engine operators a switching user expects (round 4) ----
+
+    // AS-OF join: each purchase enriched with the user's most recent
+    // prior-or-equal signup. Composed union+window operator (one shuffle
+    // on the key, no range-pair explosion — AsOfJoin Scaladoc); the right
+    // side is deduped per (user, ts) so ties are engine-independent.
+    // Oracle uses DuckDB's NATIVE ASOF JOIN — independent implementation,
+    // same semantics.
+    "q38_asof_join" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val signups = ev.where(col("event_type") === "signup")
+        .groupBy("user_id", "ts")
+        .agg(min("event_id").as("signup_id"),
+             round(min_by(col("value"), col("event_id")), 4).as("signup_value"))
+      operators.AsOfJoin.lastPrior(purchases, signups,
+          key = Seq("user_id"), ts = "ts", rightPayload = Seq("signup_id", "signup_value"))
+        .select(col("event_id"), col("user_id"), col("signup_id"), col("signup_value"))
+        .orderBy("event_id")
+    }),
+
+    // ROLLUP / grouping sets: subtotal + grand-total rows in one pass
+    // (partial-agg friendly — no union of separate aggregations).
+    "q39_rollup" -> ((s, dir) => {
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(sum(col("l_quantity").cast("decimal(18,4)")).cast("double").as("sum_qty"),
+             count(lit(1)).as("n"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+                coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+                round(col("sum_qty"), 4).as("sum_qty"), col("n"))
+        .orderBy("rf", "ls")
+    }),
+
+    // window FRAME analytics: per-user running/sliding aggregates over an
+    // explicit ROWS frame + lag, the classic time-series shape.
+    "q40_window_frames" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      events(s, dir)
+        .withColumn("mov_avg_4",
+          round(avg(col("value")).over(w.rowsBetween(-3, 0)), 4))
+        .withColumn("run_max", round(max(col("value")).over(
+          w.rowsBetween(Window.unboundedPreceding, 0)), 4))
+        .withColumn("prev_value", round(lag(col("value"), 1).over(w), 4))
+        .where(col("prev_value").isNotNull) // drop per-user first rows (no NULL hashing)
+        .select(col("event_id"), col("user_id"), col("mov_avg_4"),
+                col("run_max"), col("prev_value"))
+        .orderBy("event_id")
+    }),
+
+    // JSON column functions over the events.props payload
+    "q41_json_extract" -> ((s, dir) => {
+      events(s, dir)
+        .select(col("event_id"),
+                get_json_object(col("props"), "$.k").cast("bigint").as("k"))
+        .groupBy((col("k") % 10).as("k_bucket"))
+        .agg(count(lit(1)).as("n"), sum("k").as("sum_k"))
+        .orderBy("k_bucket")
+    }),
   )
 
   /** Doc-similarity edges: same conversation (source), turn distance ≤ 3,
@@ -920,5 +981,40 @@ object SparkEntry {
          |       min(printf('%s:%06d:%06d', conv_id, turn_idx, bpos)) OVER (PARTITION BY bg) AS cluster_id,
          |       bg
          |FROM allm ORDER BY mention_id""".stripMargin,
+
+    // DuckDB's NATIVE ASOF JOIN — an independent implementation of the
+    // same nearest-prior semantics as AsOfJoin.lastPrior's union+window
+    "q38_asof_join" ->
+      """WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+        |r AS (SELECT user_id, ts, min(event_id) AS signup_id,
+        |             round(min_by("value", event_id), 4) AS signup_value
+        |      FROM events WHERE event_type = 'signup' GROUP BY user_id, ts)
+        |SELECT l.event_id, l.user_id, r.signup_id, r.signup_value
+        |FROM l ASOF JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+        |ORDER BY l.event_id""".stripMargin,
+
+    "q39_rollup" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+        |       coalesce(l_linestatus, 'ALL') AS ls,
+        |       round(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_qty,
+        |       count(*) AS n
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY rf, ls""".stripMargin,
+
+    "q40_window_frames" ->
+      """SELECT event_id, user_id, mov_avg_4, run_max, prev_value FROM (
+        |  SELECT event_id, user_id,
+        |    round(avg("value") OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4) AS mov_avg_4,
+        |    round(max("value") OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS run_max,
+        |    round(lag("value", 1) OVER (PARTITION BY user_id ORDER BY ts, event_id), 4) AS prev_value
+        |  FROM events)
+        |WHERE prev_value IS NOT NULL ORDER BY event_id""".stripMargin,
+
+    "q41_json_extract" ->
+      """SELECT k % 10 AS k_bucket, count(*) AS n, CAST(sum(k) AS BIGINT) AS sum_k FROM (
+        |  SELECT event_id, CAST(props->>'$.k' AS BIGINT) AS k FROM events)
+        |GROUP BY k_bucket ORDER BY k_bucket""".stripMargin,
   )
 }
