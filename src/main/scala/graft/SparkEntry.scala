@@ -512,6 +512,76 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), sum("k").as("sum_k"))
         .orderBy("k_bucket")
     }),
+
+    // bounded time-RANGE self-join: same-user event pairs within 600 s,
+    // planned as ONE equi-shuffle via window-width time bucketization
+    // (RangeJoin Scaladoc) — never the per-key nested loop a theta join
+    // would plan. Oracle is DuckDB's theta join (quadratic-per-key is
+    // fine at oracle scale; floor(epoch) matches Spark's long cast).
+    "q42_range_join" -> ((s, dir) => {
+      val ev = events(s, dir).select(col("user_id"), col("event_id"), col("ts"))
+      operators.RangeJoin.withinWindow(ev, ev,
+          key = Seq("user_id"), ts = "ts", windowSec = 600L,
+          leftPrefix = "a_", rightPrefix = "b_")
+        .where(col("a_event_id") < col("b_event_id"))
+        .select(col("user_id"), col("a_event_id"), col("b_event_id"),
+          (col("b_ts").cast("timestamp").cast("long") -
+           col("a_ts").cast("timestamp").cast("long")).as("delta_s"))
+        .orderBy("user_id", "a_event_id", "b_event_id")
+    }),
+
+    // co-located BUCKETED join: fact and dimension both written bucketed
+    // by user_id, so the join (and any same-key agg) plans with ZERO
+    // shuffle exchanges — the layout pre-pays the shuffle once at write
+    // time (TableIO.writeBucketed Scaladoc; exchange-free plan gated in
+    // TableIOSpec). The oracle checks values with a plain join — the
+    // operator under test is the physical layout, not new join semantics.
+    "q43_bucketed_join" -> ((s, dir) => {
+      val base = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_q43_buckets_${s.sparkContext.applicationId}").getAbsolutePath
+      val ev = events(s, dir)
+      val facts = ev.select(col("event_id"), col("user_id"))
+      val dim = ev.where(col("event_type") === "purchase")
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_purchase"),
+             round(sum(col("value").cast("decimal(18,6)")).cast("double"), 4)
+               .as("purchase_value"))
+      val tf = sources.TableIO.writeBucketed(
+        facts, "graft_q43_facts", s"$base/facts", Seq("user_id"), 8)
+      val td = sources.TableIO.writeBucketed(
+        dim, "graft_q43_dim", s"$base/dim", Seq("user_id"), 8)
+      tf.join(td, Seq("user_id"))
+        .select(col("event_id"), col("user_id"), col("n_purchase"), col("purchase_value"))
+        .orderBy("event_id")
+    }),
+
+    // PIVOT: per-user event-type counts as columns. The value list is
+    // explicit, so there is no extra distinct-values collect job and the
+    // conditional counts stay one map-side partial aggregation — at scale
+    // an unpinned pivot('col') pays a full extra pass just to learn the
+    // column set.
+    "q44_pivot" -> ((s, dir) => {
+      events(s, dir)
+        .groupBy("user_id")
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .count()
+        .na.fill(0L)
+        .orderBy("user_id")
+    }),
+
+    // Deterministic train/valid/test split by md5-cell interval
+    // (Sampling.splitLabel): a row's split is a pure function of its key —
+    // stable under repartitioning, cluster size, and incremental re-runs
+    // (rand()-sampling migrates rows between splits on any re-plan = train/
+    // test leakage). Exactly engine-reproducible, hence a DuckDB oracle.
+    "q45_hash_split" -> ((s, dir) => {
+      docs(s, dir)
+        .select(col("n_chars"), operators.Sampling.splitLabel(col("doc_id"),
+          Seq("train" -> 0.75, "valid" -> 0.125, "test" -> 0.125)).as("split"))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n"), sum("n_chars").as("chars"))
+        .orderBy("split")
+    }),
   )
 
   /** Doc-similarity edges: same conversation (source), turn distance ≤ 3,
@@ -1016,5 +1086,48 @@ object SparkEntry {
       """SELECT k % 10 AS k_bucket, count(*) AS n, CAST(sum(k) AS BIGINT) AS sum_k FROM (
         |  SELECT event_id, CAST(props->>'$.k' AS BIGINT) AS k FROM events)
         |GROUP BY k_bucket ORDER BY k_bucket""".stripMargin,
+
+    // theta-join oracle for the bucketized range join; floor(epoch(ts))
+    // reproduces Spark's truncating timestamp→long cast at the boundary
+    "q42_range_join" ->
+      """SELECT a.user_id AS user_id, a.event_id AS a_event_id,
+        |       b.event_id AS b_event_id,
+        |       CAST(floor(epoch(b.ts)) - floor(epoch(a.ts)) AS BIGINT) AS delta_s
+        |FROM events a JOIN events b
+        |  ON a.user_id = b.user_id AND a.event_id < b.event_id
+        | AND abs(floor(epoch(a.ts)) - floor(epoch(b.ts))) <= 600
+        |ORDER BY user_id, a_event_id, b_event_id""".stripMargin,
+
+    // plain-join oracle for the co-bucketed join — the operator under
+    // test is the exchange-free physical layout, values are standard SQL
+    "q43_bucketed_join" ->
+      """WITH dim AS (
+        |  SELECT user_id, count(*) AS n_purchase,
+        |         round(CAST(sum(CAST("value" AS DECIMAL(18,6))) AS DOUBLE), 4) AS purchase_value
+        |  FROM events WHERE event_type = 'purchase' GROUP BY user_id)
+        |SELECT e.event_id, e.user_id, d.n_purchase, d.purchase_value
+        |FROM events e JOIN dim d ON e.user_id = d.user_id
+        |ORDER BY e.event_id""".stripMargin,
+
+    "q44_pivot" ->
+      """SELECT user_id,
+        |  count(*) FILTER (WHERE event_type = 'click')    AS click,
+        |  count(*) FILTER (WHERE event_type = 'error')    AS error,
+        |  count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+        |  count(*) FILTER (WHERE event_type = 'signup')   AS signup,
+        |  count(*) FILTER (WHERE event_type = 'view')     AS view
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // md5-cell split boundaries: cum .75 → 192/256 = 'c0', cum .875 →
+    // 224/256 = 'e0' (Sampling.bound); md5-of-string and string compare
+    // are engine-identical
+    "q45_hash_split" ->
+      """SELECT split, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars FROM (
+        |  SELECT n_chars,
+        |         CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'c0' THEN 'train'
+        |              WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e0' THEN 'valid'
+        |              ELSE 'test' END AS split
+        |  FROM documents)
+        |GROUP BY split ORDER BY split""".stripMargin,
   )
 }

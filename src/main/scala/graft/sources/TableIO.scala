@@ -105,6 +105,35 @@ object TableIO {
         .forEach(f => Files.delete(f))
     }
 
+  // ---- bucketed dimension/fact tables (co-located joins) ----
+
+  /** Write `df` bucketed AND sorted by `key` into `buckets` buckets as an
+    * external table at `path`, returning the catalog-backed frame.
+    *
+    * Two tables bucketed by the same key into the same bucket count
+    * equi-join with ZERO shuffle exchanges — the physical layout pre-pays
+    * the Exchange once at write time. That is the 100-TB play: a fact
+    * table re-joined or re-aggregated on the same key across many runs
+    * (mentions by conv_id, events by user_id) never shuffles again, and
+    * the in-bucket sort lets the sort-merge join skip its sort too.
+    * Bucketing metadata lives in the session catalog (`saveAsTable`);
+    * production Iceberg expresses the identical layout as a
+    * `bucket(N, key)` partition transform. Plan shape (no Exchange on
+    * either side, no Sort) is gated in TableIOSpec.
+    */
+  def writeBucketed(df: DataFrame, name: String, path: String,
+                    key: Seq[String], buckets: Int): DataFrame = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS `$name`")
+    df.write.format(format)
+      .bucketBy(buckets, key.head, key.tail: _*)
+      .sortBy(key.head, key.tail: _*)
+      .option("path", path)
+      .mode("overwrite")
+      .saveAsTable(name)
+    spark.table(name)
+  }
+
   /** Partition-level compute-or-resume: the stage output is hive-
     * partitioned by `partCol` (a bounded-cardinality lineage column, e.g.
     * a date or an input-shard id), written in BATCHES of partition values

@@ -1,0 +1,60 @@
+package graft
+
+import graft.operators.Sampling
+import org.apache.spark.sql.functions._
+
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def keys = spark.range(10000).toDF("id")
+
+  test("splitLabel assigns every row exactly one label with ~right fractions") {
+    val parts = Seq("train" -> 0.75, "valid" -> 0.125, "test" -> 0.125)
+    val counts = keys
+      .select(Sampling.splitLabel(col("id"), parts).as("split"))
+      .groupBy("split").count()
+      .as[(String, Long)].collect().toMap
+    assert(counts.keySet == Set("train", "valid", "test"))
+    assert(counts.values.sum == 10000L) // total: no row dropped or doubled
+    // md5 cells are uniform; 10k keys over 256 cells → few-percent tolerance
+    assert(math.abs(counts("train") / 10000.0 - 0.75) < 0.03, counts)
+    assert(math.abs(counts("valid") / 10000.0 - 0.125) < 0.03, counts)
+  }
+
+  test("assignment is a pure function of the key: stable under repartitioning") {
+    val parts = Seq("a" -> 0.5, "b" -> 0.5)
+    def labels(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("id"), Sampling.splitLabel(col("id"), parts).as("s"))
+      .as[(Long, String)].collect().toMap
+    assert(labels(keys) == labels(keys.repartition(13)))
+  }
+
+  test("different seeds decorrelate; same seed reproduces") {
+    val s1 = keys.where(Sampling.hashSample(col("id"), 0.5, "seedA"))
+      .as[Long].collect().toSet
+    val s1b = keys.where(Sampling.hashSample(col("id"), 0.5, "seedA"))
+      .as[Long].collect().toSet
+    val s2 = keys.where(Sampling.hashSample(col("id"), 0.5, "seedB"))
+      .as[Long].collect().toSet
+    assert(s1 == s1b)
+    assert(s1 != s2)
+    // independence: overlap of two 50% samples ≈ 25% of keys
+    val overlap = (s1 & s2).size / 10000.0
+    assert(overlap > 0.15 && overlap < 0.35, overlap)
+  }
+
+  test("smaller fractions nest inside larger ones") {
+    def sample(f: Double) = keys.where(Sampling.hashSample(col("id"), f))
+      .as[Long].collect().toSet
+    val s10 = sample(0.1); val s50 = sample(0.5); val s100 = sample(1.0)
+    assert(s10.subsetOf(s50) && s50.subsetOf(s100))
+    assert(s100.size == 10000)
+    assert(sample(0.0).isEmpty)
+  }
+
+  test("degenerate single-part split labels everything") {
+    val labels = keys.select(Sampling.splitLabel(col("id"), Seq("all" -> 1.0)).as("s"))
+      .select("s").distinct().as[String].collect().toSeq
+    assert(labels == Seq("all"))
+  }
+}

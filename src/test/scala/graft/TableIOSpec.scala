@@ -125,4 +125,37 @@ class TableIOSpec extends SparkSpec {
     val out = TableIO.stageByPartition(spark, "s5", dir, "fpB", "p")(df(20))
     assert(out.count() == 20) // no stale fpA rows appended into fpB output
   }
+
+  test("co-bucketed tables join and aggregate with zero shuffle exchanges") {
+    val dir = Files.createTempDirectory("graft-buckets").toString
+    val facts = spark.range(10000)
+      .selectExpr("id % 500 as k", "id as va")
+    val dim = spark.range(2000)
+      .selectExpr("id % 500 as k", "id as vb")
+    val tf = TableIO.writeBucketed(facts, "tio_bkt_facts", s"$dir/facts", Seq("k"), 8)
+    val td = TableIO.writeBucketed(dim, "tio_bkt_dim", s"$dir/dim", Seq("k"), 8)
+
+    val prevBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = tf.join(td, Seq("k"))
+      assert(joined.count() == 10000L * 4) // 20 fact rows x 4 dim rows per key... checked below
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"co-bucketed join must not shuffle either side:\n$plan")
+
+      // same-key aggregation over one bucketed table: also exchange-free
+      val agg = tf.groupBy("k").count()
+      agg.collect()
+      val aggPlan = agg.queryExecution.executedPlan.toString
+      assert(!aggPlan.contains("Exchange"),
+        s"groupBy on the bucketing key must not shuffle:\n$aggPlan")
+
+      // values survive the layout: equality with the plain (shuffling) join
+      val expect = facts.join(dim, Seq("k")).selectExpr("k", "va", "vb")
+        .collect().map(_.toSeq).toSet
+      val got = joined.selectExpr("k", "va", "vb").collect().map(_.toSeq).toSet
+      assert(got == expect)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+  }
 }
