@@ -427,7 +427,9 @@ object SparkEntry {
         .coalesce(1).write.mode("overwrite").parquet(dictPath)
       val dictDf = s.read.parquet(dictPath).as[DictEntry]
       val vecDf = Seq.empty[(String, Array[Float])].toDF("entity", "vec")
-      Pipeline.runJoined(QueryLib.turnsDs(s, dir), dictDf, vecDf)
+      // dict cardinality is known here — skip the Bloom-sizing count job
+      Pipeline.runJoined(QueryLib.turnsDs(s, dir), dictDf, vecDf,
+        expectedDictKeys = QueryLib.bigramDict.size.toLong)
         .select(col("mention_id"), col("cluster_id"), col("norm").as("bg"))
         .orderBy("mention_id")
     }),
@@ -581,6 +583,18 @@ object SparkEntry {
         .groupBy("split")
         .agg(count(lit(1)).as("n"), sum("n_chars").as("chars"))
         .orderBy("split")
+    }),
+
+    // date/time functions (the last §2.8 family still designed out):
+    // calendar bucketing + part extraction — partial-agg friendly, the
+    // natural partition key shape for time-partitioned 100-TB tables.
+    "q46_date_trunc" -> ((s, dir) => {
+      val ts = col("ts").cast("timestamp")
+      events(s, dir)
+        .select(to_date(ts).as("day"), hour(ts).as("hr"))
+        .groupBy("day")
+        .agg(count(lit(1)).as("n"), countDistinct(col("hr")).as("active_hours"))
+        .orderBy("day")
     }),
   )
 
@@ -1129,5 +1143,10 @@ object SparkEntry {
         |              ELSE 'test' END AS split
         |  FROM documents)
         |GROUP BY split ORDER BY split""".stripMargin,
+
+    "q46_date_trunc" ->
+      """SELECT CAST(ts AS DATE) AS day, count(*) AS n,
+        |       count(DISTINCT extract(hour FROM ts)) AS active_hours
+        |FROM events GROUP BY day ORDER BY day""".stripMargin,
   )
 }

@@ -20,6 +20,11 @@ import org.apache.spark.sql.functions._
   * Granularity is 1/256 (two hex chars of the md5) — ample for split
   * weights; the `seed` string folds into the hash input to decorrelate
   * independent splits over the same keys.
+  *
+  * NULL keys: md5(null) is null, every interval comparison is null, so
+  * `splitLabel` lands them deterministically in the LAST part and
+  * `hashSample` never keeps them — filter or coalesce keys upstream if
+  * either default is wrong for the dataset.
   */
 object Sampling {
 
