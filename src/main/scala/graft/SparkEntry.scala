@@ -596,6 +596,19 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), countDistinct(col("hr")).as("active_hours"))
         .orderBy("day")
     }),
+
+    // STRATIFIED deterministic sampling: per-language quotas for a
+    // training mixture (halve en, quarter zh, keep the rest) — per-class
+    // md5-cell intervals, so rebalancing one language never reshuffles
+    // another's picks (Sampling.hashSampleStratified).
+    "q47_stratified_sample" -> ((s, dir) => {
+      docs(s, dir)
+        .where(operators.Sampling.hashSampleStratified(col("doc_id"), col("lang"),
+          Map("en" -> 0.5, "zh" -> 0.25), default = 1.0))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n"), sum("n_chars").as("chars"))
+        .orderBy("lang")
+    }),
   )
 
   /** Doc-similarity edges: same conversation (source), turn distance ≤ 3,
@@ -1148,5 +1161,15 @@ object SparkEntry {
       """SELECT CAST(ts AS DATE) AS day, count(*) AS n,
         |       count(DISTINCT extract(hour FROM ts)) AS active_hours
         |FROM events GROUP BY day ORDER BY day""".stripMargin,
+
+    // per-class md5-cell bounds: en 0.5 → 128/256 = '80', zh 0.25 → 64/256
+    // = '40', default 1.0 → 'g' (sorts above every 2-hex-char cell)
+    "q47_stratified_sample" ->
+      """SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars FROM (
+        |  SELECT lang, n_chars,
+        |         substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS cell
+        |  FROM documents)
+        |WHERE cell < CASE lang WHEN 'en' THEN '80' WHEN 'zh' THEN '40' ELSE 'g' END
+        |GROUP BY lang ORDER BY lang""".stripMargin,
   )
 }

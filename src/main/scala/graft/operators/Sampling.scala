@@ -64,4 +64,24 @@ object Sampling {
     require(frac >= 0.0 && frac <= 1.0, "frac in [0,1]")
     hashCell(key, seed) < bound(frac)
   }
+
+  /** Per-class keep-predicate — class-dependent sampling fractions (e.g.
+    * per-language quotas when mixing a training corpus: halve English,
+    * quarter the hot crawl source, keep the rest). Classes absent from
+    * `fracs` keep `default`. Same md5-cell mechanics as [[hashSample]]:
+    * the pick is a pure function of (key, class), per-class samples nest
+    * when a fraction is later raised, and rebalancing one class never
+    * reshuffles another's picks. */
+  def hashSampleStratified(key: Column, cls: Column,
+                           fracs: Map[String, Double],
+                           default: Double = 1.0,
+                           seed: String = ""): Column = {
+    require((default +: fracs.values.toSeq).forall(f => f >= 0.0 && f <= 1.0),
+      "fractions in [0,1]")
+    val boundCol = fracs.toSeq.sortBy(_._1)
+      .foldLeft(lit(bound(default))) { case (acc, (c, f)) =>
+        when(cls === c, lit(bound(f))).otherwise(acc)
+      }
+    hashCell(key, seed) < boundCol
+  }
 }

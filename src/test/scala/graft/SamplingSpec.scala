@@ -57,4 +57,28 @@ class SamplingSpec extends SparkSpec {
       .select("s").distinct().as[String].collect().toSeq
     assert(labels == Seq("all"))
   }
+
+  test("stratified sample applies per-class fractions; unknown classes keep default") {
+    val classed = keys.withColumn("cls",
+      when(col("id") % 3 === 0, "en").when(col("id") % 3 === 1, "zh").otherwise("de"))
+    val kept = classed
+      .where(Sampling.hashSampleStratified(col("id"), col("cls"),
+        Map("en" -> 0.5, "zh" -> 0.25), default = 1.0))
+      .groupBy("cls").count().as[(String, Long)].collect().toMap
+    val totals = classed.groupBy("cls").count().as[(String, Long)].collect().toMap
+    assert(kept("de") == totals("de")) // default 1.0 keeps everything
+    assert(math.abs(kept("en").toDouble / totals("en") - 0.5) < 0.05, kept)
+    assert(math.abs(kept("zh").toDouble / totals("zh") - 0.25) < 0.05, kept)
+  }
+
+  test("stratified picks for a class equal the flat sample at that fraction") {
+    val classed = keys.withColumn("cls", when(col("id") % 2 === 0, "a").otherwise("b"))
+    val strat = classed
+      .where(Sampling.hashSampleStratified(col("id"), col("cls"), Map("a" -> 0.3), 1.0))
+      .where(col("cls") === "a").select("id").as[Long].collect().toSet
+    val flat = classed.where(col("cls") === "a")
+      .where(Sampling.hashSample(col("id"), 0.3))
+      .select("id").as[Long].collect().toSet
+    assert(strat == flat) // same cells ⇒ rebalancing one class never moves another's picks
+  }
 }
