@@ -225,6 +225,116 @@ object Pipeline {
     out
   }
 
+  /** One incremental update's outputs: the delta mention table, the newly
+    * scored edges (both ready to APPEND to the base stage tables — Iceberg
+    * append in production), and the updated full clustering. */
+  case class Increment(deltaMentions: DataFrame, newEdges: DataFrame,
+                       clusters: DataFrame)
+
+  /** Append-only INCREMENTAL maintenance of a clustered corpus — the
+    * operation a 10¹²-turn deployment actually runs every ingestion
+    * cycle: `newTurns` arrive and the update must cost O(delta) pair
+    * work, never a from-scratch re-score of the historical corpus.
+    *
+    * Mechanics (pair generation and scoring ∝ delta; the only
+    * full-corpus passes are LINEAR slim-projection scans):
+    *
+    *  1. detect ∪ coref-inherit mentions of the new turns only;
+    *  2. supernode grouping + block keys recomputed over old ∪ new —
+    *     linear map/group work, no pairing; a new mention joining an
+    *     existing surface group attaches via its member edge;
+    *  3. candidate pairs are generated ONLY inside blocks containing at
+    *     least one new mention (semi-join on the delta's block keys) and
+    *     then restricted to pairs touching a new mention — historical
+    *     pairs were scored by the base run and their edges are reused
+    *     verbatim;
+    *  4. connected components over base edges ∪ new edges ∪ fresh member
+    *     edges; cluster ids stay min-member.
+    *
+    * Semantics: EDGES ARE APPEND-ONLY — a pair once matched stays
+    * matched even if a later increment changes which representative
+    * would have been scored (the production-desirable behavior: clusters
+    * never flap when data is appended, they only merge). On corpora
+    * where the scorer separates entities cleanly (the F1 fixtures) the
+    * result is EXACTLY the from-scratch clustering — property-tested in
+    * IncrementalSpec across conversation-disjoint splits and chained
+    * increments. Increments must be conversation-complete: coref
+    * inheritance reaches only within the increment's own turns, so route
+    * a conversation's late turns into the same increment (or re-feed the
+    * conversation whole).
+    *
+    * `baseMentions`/`baseScoredEdges` are the previous run's tables
+    * ([[runCheckpointed]]'s `mentions` stage and the `kind='scored'`
+    * rows of its `edges` stage, or [[scoredEdges]] for a bootstrap). */
+  def runIncremental(newTurns: Dataset[Turn],
+                     dict: Map[String, DictEntry],
+                     vecs: Map[String, Array[Float]],
+                     baseMentions: DataFrame,
+                     baseScoredEdges: DataFrame,
+                     cfg: Config = Config()): Increment = CacheTracker.scoped {
+    val spark = newTurns.sparkSession
+    import spark.implicits._
+    import org.apache.spark.storage.StorageLevel
+    val sc = spark.sparkContext
+    val deltaMs = CacheTracker.register(
+      allMentions(newTurns, sc.broadcast(dict), sc.broadcast(vecs), cfg)
+        .toDF().persist(StorageLevel.MEMORY_AND_DISK))
+    val allMs = CacheTracker.register(
+      baseMentions.unionByName(deltaMs).as[Mention]
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    val (scoringMs0, memberEdges) =
+      if (cfg.supernode) supernodeCollapse(allMs, cfg) else (allMs, None)
+    val scoringMs = CacheTracker.register(
+      scoringMs0.persist(StorageLevel.MEMORY_AND_DISK))
+    val keyed = CacheTracker.register(
+      Blocking.withBlockKeys(scoringMs, cfg.lsh)
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    val newIds = deltaMs.select(col("mention_id").as("mid"))
+    val activeKeys = keyed.join(newIds, Seq("mid"), "left_semi")
+      .select("block_key").distinct()
+    val keyedActive = keyed.join(activeKeys, Seq("block_key"), "left_semi")
+    val pairs0 = CacheTracker.register(
+      Blocking.candidatePairs(keyedActive, cfg.tau, cfg.blockMaxSize,
+                              cfg.starThreshold, cfg.starK)
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    // two hash semi-joins, not one OR-condition join (which would plan a
+    // nested loop); the union double-counts new-new pairs → dedup
+    val pairs = pairs0
+      .join(newIds.withColumnRenamed("mid", "a_id"), Seq("a_id"), "left_semi")
+      .unionByName(pairs0
+        .join(newIds.withColumnRenamed("mid", "b_id"), Seq("b_id"), "left_semi"))
+      .dropDuplicates("a_id", "b_id")
+    val newEdges = Scoring.edges(Blocking.attachPayload(pairs, scoringMs), cfg.score)
+      .localCheckpoint(true)
+    val allScored = baseScoredEdges.unionByName(newEdges)
+      .dropDuplicates("src", "dst")
+    val out = assemble(allMs.toDF(), allScored, memberEdges, cfg)
+      .localCheckpoint(true)
+    val deltaOut = deltaMs.localCheckpoint(true)
+    CacheTracker.drainUnpersist()
+    Increment(deltaOut, newEdges, out)
+  }
+
+  /** Scored edge table of a from-scratch run over `ms` — the base-edge
+    * bootstrap for [[runIncremental]] ([[runCheckpointed]]'s edges stage
+    * persists exactly these rows with kind='scored'). */
+  def scoredEdges(ms: Dataset[Mention], cfg: Config = Config()): DataFrame =
+    CacheTracker.scoped {
+      import org.apache.spark.storage.StorageLevel
+      val msP = CacheTracker.register(ms.persist(StorageLevel.MEMORY_AND_DISK))
+      val (scoringMs0, _) =
+        if (cfg.supernode) supernodeCollapse(msP, cfg) else (msP, None)
+      val scoringMs = CacheTracker.register(
+        scoringMs0.persist(StorageLevel.MEMORY_AND_DISK))
+      val keyed = Blocking.withBlockKeys(scoringMs, cfg.lsh)
+      val pairIds = Blocking.candidatePairs(keyed, cfg.tau, cfg.blockMaxSize,
+                                            cfg.starThreshold, cfg.starK)
+      val out = Scoring.edges(Blocking.attachPayload(pairIds, scoringMs), cfg.score)
+        .localCheckpoint(true)
+      CacheTracker.drainUnpersist()
+      out
+    }
+
   /** Checkpointed variant: every stage lands in `$root/<stage>` with a
     * manifest; a rerun with the same fingerprint resumes instead of
     * recomputing (north_rule resumability). */

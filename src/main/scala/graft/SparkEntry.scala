@@ -597,6 +597,33 @@ object SparkEntry {
         .orderBy("day")
     }),
 
+    // INCREMENTAL flagship: the corpus arrives in two conversation-
+    // disjoint batches; the second is applied via Pipeline.runIncremental
+    // over the first batch's mention/edge tables (O(delta) pair work,
+    // append-only edges). Must emit exactly q13's clusters — the operator
+    // under test is incremental maintenance, not new clustering
+    // semantics; equality-with-from-scratch and delta-boundedness are
+    // also property-gated in IncrementalSpec.
+    "q48_er_clusters_incremental" -> ((s, dir) => {
+      import s.implicits._
+      val turns = QueryLib.turnsDs(s, dir)
+      val convs = turns.select(col("conv_id")).distinct()
+        .as[String].collect().sorted.toSeq
+      val (oldC, newC) = convs.splitAt(convs.length / 2)
+      val dictBc = s.sparkContext.broadcast(QueryLib.bigramDict)
+      val vecsBc = s.sparkContext.broadcast(Map.empty[String, Array[Float]])
+      val baseMs = Pipeline.allMentions(
+        turns.where(col("conv_id").isInCollection(oldC)).as[Turn],
+        dictBc, vecsBc).toDF()
+      val baseEdges = Pipeline.scoredEdges(baseMs.as[Mention])
+      val inc = Pipeline.runIncremental(
+        turns.where(col("conv_id").isInCollection(newC)).as[Turn],
+        QueryLib.bigramDict, Map.empty, baseMs, baseEdges)
+      inc.clusters
+        .select(col("mention_id"), col("cluster_id"), col("norm").as("bg"))
+        .orderBy("mention_id")
+    }),
+
     // STRATIFIED deterministic sampling: per-language quotas for a
     // training mixture (halve en, quarter zh, keep the rest) — per-class
     // md5-cell intervals, so rebalancing one language never reshuffles
@@ -1161,6 +1188,16 @@ object SparkEntry {
       """SELECT CAST(ts AS DATE) AS day, count(*) AS n,
         |       count(DISTINCT extract(hour FROM ts)) AS active_hours
         |FROM events GROUP BY day ORDER BY day""".stripMargin,
+
+    // identical cluster set to q13 — the operator under test is O(delta)
+    // incremental maintenance (Pipeline.runIncremental), which must
+    // reproduce the from-scratch clustering
+    "q48_er_clusters_incremental" ->
+      s"""WITH ${QueryLib.allMentionsSql}
+         |SELECT printf('%s:%06d:%06d', conv_id, turn_idx, bpos) AS mention_id,
+         |       min(printf('%s:%06d:%06d', conv_id, turn_idx, bpos)) OVER (PARTITION BY bg) AS cluster_id,
+         |       bg
+         |FROM allm ORDER BY mention_id""".stripMargin,
 
     // per-class md5-cell bounds: en 0.5 → 128/256 = '80', zh 0.25 → 64/256
     // = '40', default 1.0 → 'g' (sorts above every 2-hex-char cell)
