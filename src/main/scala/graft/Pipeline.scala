@@ -273,12 +273,69 @@ object Pipeline {
                      baseScoredEdges: DataFrame,
                      cfg: Config = Config()): Increment = CacheTracker.scoped {
     val spark = newTurns.sparkSession
-    import spark.implicits._
     import org.apache.spark.storage.StorageLevel
     val sc = spark.sparkContext
     val deltaMs = CacheTracker.register(
       allMentions(newTurns, sc.broadcast(dict), sc.broadcast(vecs), cfg)
         .toDF().persist(StorageLevel.MEMORY_AND_DISK))
+    val (allMs, memberEdges, newEdges0) = incrementParts(baseMentions, deltaMs, cfg)
+    val newEdges = newEdges0.localCheckpoint(true)
+    val allScored = baseScoredEdges.unionByName(newEdges)
+      .dropDuplicates("src", "dst")
+    val out = assemble(allMs.toDF(), allScored, memberEdges, cfg)
+      .localCheckpoint(true)
+    val deltaOut = deltaMs.localCheckpoint(true)
+    CacheTracker.drainUnpersist()
+    Increment(deltaOut, newEdges, out)
+  }
+
+  /** [[runIncremental]] with resumable stage tables (north_rule
+    * resumability for the maintenance path too): the delta mention table,
+    * the new-edge table, and the updated clusters each land in
+    * `$root/<stage>` with a fingerprint manifest — a killed increment
+    * redoes only unfinished stages, and a completed one is a pure read.
+    * The emitted `mentions_delta`/`edges_delta` tables are exactly what
+    * the caller appends to the base tables before the NEXT increment. */
+  def runIncrementalCheckpointed(newTurns: Dataset[Turn],
+                                 dict: Map[String, DictEntry],
+                                 vecs: Map[String, Array[Float]],
+                                 baseMentions: DataFrame,
+                                 baseScoredEdges: DataFrame,
+                                 root: String,
+                                 fingerprint: String,
+                                 cfg: Config = Config()): DataFrame = CacheTracker.scoped {
+    val spark = newTurns.sparkSession
+    val sc = spark.sparkContext
+    val deltaMs = TableIO.stage(spark, "mentions_delta",
+        s"$root/mentions_delta", fingerprint) {
+      allMentions(newTurns, sc.broadcast(dict), sc.broadcast(vecs), cfg).toDF()
+    }
+    val newEdges = TableIO.stage(spark, "edges_delta",
+        s"$root/edges_delta", fingerprint) {
+      incrementParts(baseMentions, deltaMs, cfg)._3
+    }
+    val out = TableIO.stage(spark, "clusters", s"$root/clusters", fingerprint) {
+      // newEdges is a stage table read here — incrementParts' pair
+      // generation/scoring frames stay untouched (lazy); only the linear
+      // grouping reruns for member edges
+      val (allMs, memberEdges, _) = incrementParts(baseMentions, deltaMs, cfg)
+      val allScored = baseScoredEdges.unionByName(newEdges)
+        .dropDuplicates("src", "dst")
+      assemble(allMs.toDF(), allScored, memberEdges, cfg)
+    }
+    CacheTracker.drainUnpersist()
+    out
+  }
+
+  /** Shared increment machinery: (old ∪ new mentions, fresh member
+    * edges, new-involving scored edges) — all lazy except
+    * supernodeCollapse's id-count. */
+  private def incrementParts(baseMentions: DataFrame, deltaMs: DataFrame,
+                             cfg: Config)
+      : (Dataset[Mention], Option[DataFrame], DataFrame) = {
+    val spark = deltaMs.sparkSession
+    import spark.implicits._
+    import org.apache.spark.storage.StorageLevel
     val allMs = CacheTracker.register(
       baseMentions.unionByName(deltaMs).as[Mention]
         .persist(StorageLevel.MEMORY_AND_DISK))
@@ -305,14 +362,7 @@ object Pipeline {
         .join(newIds.withColumnRenamed("mid", "b_id"), Seq("b_id"), "left_semi"))
       .dropDuplicates("a_id", "b_id")
     val newEdges = Scoring.edges(Blocking.attachPayload(pairs, scoringMs), cfg.score)
-      .localCheckpoint(true)
-    val allScored = baseScoredEdges.unionByName(newEdges)
-      .dropDuplicates("src", "dst")
-    val out = assemble(allMs.toDF(), allScored, memberEdges, cfg)
-      .localCheckpoint(true)
-    val deltaOut = deltaMs.localCheckpoint(true)
-    CacheTracker.drainUnpersist()
-    Increment(deltaOut, newEdges, out)
+    (allMs, memberEdges, newEdges)
   }
 
   /** Scored edge table of a from-scratch run over `ms` — the base-edge

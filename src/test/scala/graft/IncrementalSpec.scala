@@ -64,4 +64,21 @@ class IncrementalSpec extends SparkSpec {
     info(f"chained-increment F1=${f1.f1}%.4f (tp=${f1.tp} fp=${f1.fp} fn=${f1.fn})")
     assert(f1.f1 >= 0.99)
   }
+
+  test("checkpointed increment == from-scratch; same-fingerprint rerun resumes") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-inc").toString
+    val (oldConvs, newConvs) = convs.splitAt((convs.length * 0.6).toInt)
+    val baseMs = Pipeline.allMentions(convSlice(oldConvs), dictBc, vecsBc).toDF().cache()
+    val baseEdges = Pipeline.scoredEdges(baseMs.as[Mention]).cache()
+
+    val out1 = Pipeline.runIncrementalCheckpointed(
+      convSlice(newConvs), dict, vecs, baseMs, baseEdges, dir, "fp1")
+    assert(assign(out1) == assign(full))
+
+    // resume proof: EMPTY new turns but the same fingerprint — the full
+    // clustering must come back from the stage tables alone
+    val out2 = Pipeline.runIncrementalCheckpointed(
+      spark.emptyDataset[Turn], dict, vecs, baseMs, baseEdges, dir, "fp1")
+    assert(assign(out2) == assign(full))
+  }
 }
