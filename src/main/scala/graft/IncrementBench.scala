@@ -1,0 +1,105 @@
+package graft
+
+import graft.model.Turn
+import graft.sources.TranscriptGen
+import org.apache.spark.sql.functions._
+
+/** Delta-boundedness evidence for [[Pipeline.runIncremental]]: on one
+  * corpus, time (a) the from-scratch flagship over 100% of the
+  * conversations and (b) an increment applying the last `deltaFrac` of
+  * conversations over IncrementState base tables built from the rest.
+  * The claim under test is the maintenance story — an ingestion cycle
+  * costs O(delta) detection, keying, pair work, and clustering, never a
+  * from-scratch re-score — so the headline number is full_s / inc_s at
+  * delta_frac.
+  *
+  * Protocol: one JVM (Bench JVM shape from build.sbt); the base
+  * bootstrap runs FIRST and warms JIT/codegen for both timed runs; the
+  * increment is timed before the full run so warm-up bias, if any,
+  * favors the from-scratch side. Corpus via TranscriptGen
+  * (deterministic, Zipf-hot mentions); conversation-complete split via
+  * the deterministic md5 sampler (Sampling.hashSample on conv_id).
+  *
+  * `sbt "runMain graft.IncrementBench"`; GRAFT_INC_CONVS sizes the
+  * corpus (default 200k convs ≈ 1.3M turns), GRAFT_INC_FRAC the delta
+  * share (default 0.1).
+  */
+object IncrementBench {
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val nConvs = sys.env.getOrElse("GRAFT_INC_CONVS", "200000").toInt
+    val deltaFrac = sys.env.getOrElse("GRAFT_INC_FRAC", "0.1").toDouble
+    val spark = Bench.benchSession(cpus)
+    import spark.implicits._
+
+    val cfg = TranscriptGen.GenConfig(nEntities = 2000, nConvs = nConvs)
+    val path = Bench.ensureCorpus(spark, cfg)
+    val turns = spark.read.parquet(path).as[Turn]
+    val dict = TranscriptGen.dict(cfg)
+    val vecs = TranscriptGen.entityVectors(cfg, operators.MentionDetect.CtxDim)
+
+    val isBase = operators.Sampling.hashSample(col("conv_id"), 1.0 - deltaFrac, "incbench")
+    val baseTurns = turns.where(isBase).as[Turn]
+    val deltaTurns = turns.where(!isBase).as[Turn]
+    val nTurns = turns.count()
+    val nDelta = deltaTurns.count()
+
+    // base tables (untimed for the headline; this also warms JIT/codegen
+    // for BOTH timed runs below)
+    val dictBc = spark.sparkContext.broadcast(dict)
+    val vecsBc = spark.sparkContext.broadcast(vecs)
+    val t0 = System.nanoTime()
+    val state = Pipeline.bootstrapState(
+      Pipeline.allMentions(baseTurns, dictBc, vecsBc))
+    val baseS = (System.nanoTime() - t0) / 1e9
+
+    // timed: the increment (before the full run, so warm-up bias favors
+    // the from-scratch side)
+    val t1 = System.nanoTime()
+    val inc = Pipeline.runIncremental(deltaTurns, dict, vecs, state)
+    val nUpserts = inc.clusterUpserts.count()
+    val incS = (System.nanoTime() - t1) / 1e9
+    val nClusters = inc.clusters.count()
+
+    // timed: from-scratch over 100%
+    val t2 = System.nanoTime()
+    val fullClusters = Pipeline.run(turns, dict, vecs)
+    val nFull = fullClusters.count()
+    val fullS = (System.nanoTime() - t2) / 1e9
+
+    val json =
+      s"""{"metric":"increment_bench","convs":$nConvs,"turns":$nTurns,""" +
+      s""""delta_frac":$deltaFrac,"delta_turns":$nDelta,""" +
+      s""""base_s":$baseS,"inc_s":$incS,"full_s":$fullS,""" +
+      s""""speedup_vs_full":${fullS / incS},""" +
+      s""""upsert_rows":$nUpserts,"inc_rows":$nClusters,"full_rows":$nFull,""" +
+      s""""ncpu":$cpus}"""
+    println(json)
+
+    // GRAFT_INC_PROFILE=1: re-run the increment phase by phase (same
+    // state, idempotent) and report where the wall time goes
+    if (sys.env.get("GRAFT_INC_PROFILE").contains("1")) {
+      def timed[A](body: => A): (A, Double) = {
+        val t = System.nanoTime(); val a = body; (a, (System.nanoTime() - t) / 1e9)
+      }
+      val cfgP = Pipeline.Config()
+      val (deltaMs, detectS) = timed {
+        Pipeline.allMentions(deltaTurns, dictBc, vecsBc).toDF().localCheckpoint(true)
+      }
+      val (parts, partsS) = timed {
+        Pipeline.incrementParts(deltaMs, state, cfgP)
+      }
+      val (memberEdges, memberS) = timed { parts.memberEdges.localCheckpoint(true) }
+      val (newEdges, edgesS) = timed { parts.newEdges.localCheckpoint(true) }
+      val (ups, upsertsS) = timed {
+        Pipeline.incrementUpserts(deltaMs, parts.deltaReps, memberEdges,
+                                  newEdges, state, cfgP).localCheckpoint(true)
+      }
+      val (_, mergeS) = timed { Pipeline.mergedClusters(state, ups).count() }
+      println(s"""{"metric":"increment_profile","detect_s":$detectS,""" +
+        s""""parts_s":$partsS,"member_s":$memberS,"edges_s":$edgesS,""" +
+        s""""upserts_s":$upsertsS,"merge_s":$mergeS}""")
+    }
+    spark.stop()
+  }
+}

@@ -139,6 +139,21 @@ object Pipeline {
     * measured as THE pipeline bottleneck), and the scoring set is carved
     * out of the payload table with a broadcast semi-join on the (small)
     * representative + low-margin id set — map-only. */
+  /** Supernode eligibility: confidently resolved mentions collapse into
+    * one representative per (norm, resolved) group. Shared by the
+    * from-scratch collapse and the incremental sticky-rep attach so the
+    * two paths can never drift. */
+  private def eligibleCond(cfg: Config) =
+    col("resolved") =!= "" && col("resolvedScore") >= cfg.score.minMargin
+
+  /** (norm, resolved, rep_id) supernode representatives — rep = group-min
+    * mention_id over the ELIGIBLE members. Map-side partial min, no skew
+    * exposure. This is the `reps` base table of [[IncrementState]]. */
+  private def repsFrame(msDf: DataFrame, cfg: Config): DataFrame =
+    msDf.where(eligibleCond(cfg))
+      .groupBy("norm", "resolved")
+      .agg(min("mention_id").as("rep_id"))
+
   private def supernodeCollapse(ms: Dataset[Mention], cfg: Config)
       : (Dataset[Mention], Option[DataFrame]) = {
     val spark = ms.sparkSession
@@ -146,12 +161,9 @@ object Pipeline {
     val msDf = ms.toDF()
     val slim = msDf.select(col("mention_id"), col("norm"), col("resolved"),
                            col("resolvedScore"))
-    val isEligible =
-      col("resolved") =!= "" && col("resolvedScore") >= cfg.score.minMargin
+    val isEligible = eligibleCond(cfg)
     val eligible = slim.where(isEligible)
-    // map-side partial min per (norm, resolved): no skew exposure
-    val reps = eligible.groupBy("norm", "resolved")
-      .agg(min("mention_id").as("rep_id"))
+    val reps = repsFrame(msDf, cfg)
     val withRep = eligible.join(reps, Seq("norm", "resolved"))
     val memberEdges = withRep.where(col("mention_id") =!= col("rep_id"))
       .select(col("rep_id").as("src"), col("mention_id").as("dst"))
@@ -225,31 +237,111 @@ object Pipeline {
     out
   }
 
-  /** One incremental update's outputs: the delta mention table, the newly
-    * scored edges (both ready to APPEND to the base stage tables — Iceberg
-    * append in production), and the updated full clustering. */
-  case class Increment(deltaMentions: DataFrame, newEdges: DataFrame,
+  /** The four base tables an incrementally-maintained deployment keeps
+    * (each an Iceberg table in production; appended/merged between
+    * ingestion cycles, never recomputed):
+    *
+    *  - `mentions`: full Mention payload rows (ctx vector + candidates) —
+    *    read only via semi-join carves, its payloads never cross a
+    *    shuffle during an increment;
+    *  - `keyed`: slim (block_key, mid) rows of the SCORING set — the
+    *    increment probes it for members of delta-active blocks instead
+    *    of re-running tokenize+MinHash over the corpus;
+    *  - `reps`: (norm, resolved, rep_id) supernode representatives — a
+    *    delta mention of a known surface group attaches here without any
+    *    re-grouping of the base;
+    *  - `clusters`: the previous full assignment (assemble's schema) —
+    *    the increment contracts new edges onto it and emits upserts. */
+  case class IncrementState(mentions: DataFrame, keyed: DataFrame,
+                            reps: DataFrame, clusters: DataFrame)
+
+  /** One incremental update's outputs. `deltaMentions`/`deltaKeyed`/
+    * `deltaReps`/`newEdges` are APPEND rows for the corresponding
+    * [[IncrementState]] tables; `clusterUpserts` is the MERGE INTO row
+    * set for the clusters table (new delta rows + historical rows whose
+    * cluster id changed by a merge); `clusters` is the convenience
+    * merged view ([[mergedClusters]]). [[applyIncrement]] rolls all five
+    * into the next cycle's state. */
+  case class Increment(deltaMentions: DataFrame, deltaKeyed: DataFrame,
+                       deltaReps: DataFrame, newEdges: DataFrame,
+                       memberEdges: DataFrame, clusterUpserts: DataFrame,
                        clusters: DataFrame)
+
+  /** From-scratch build of the [[IncrementState]] base tables — run once
+    * to bootstrap incremental maintenance (in production: the initial
+    * backfill job whose stage tables ARE these tables). Same stages as
+    * [[cluster]], capturing the keyed/reps intermediates it already
+    * computes. */
+  def bootstrapState(ms0: Dataset[Mention], cfg: Config = Config()): IncrementState =
+    CacheTracker.scoped {
+      import org.apache.spark.storage.StorageLevel
+      val spark = ms0.sparkSession
+      import spark.implicits._
+      val msDf = ms0.toDF().localCheckpoint(true)
+      val ms = msDf.as[Mention]
+      val (scoringMs0, memberEdges) =
+        if (cfg.supernode) supernodeCollapse(ms, cfg) else (ms, None)
+      val scoringMs = CacheTracker.register(
+        scoringMs0.persist(StorageLevel.MEMORY_AND_DISK))
+      val keyed = Blocking.withBlockKeys(scoringMs, cfg.lsh).localCheckpoint(true)
+      val pairIds = Blocking.candidatePairs(keyed, cfg.tau, cfg.blockMaxSize,
+                                            cfg.starThreshold, cfg.starK)
+      val scored = Scoring.edges(Blocking.attachPayload(pairIds, scoringMs), cfg.score)
+      val clusters = assemble(msDf, scored, memberEdges, cfg).localCheckpoint(true)
+      val reps = repsFrame(msDf, cfg).localCheckpoint(true)
+      CacheTracker.drainUnpersist()
+      IncrementState(msDf, keyed, reps, clusters)
+    }
+
+  /** MERGE INTO analogue: the base clusters table with an increment's
+    * upsert rows applied. */
+  def mergedClusters(state: IncrementState, upserts: DataFrame): DataFrame =
+    state.clusters
+      .join(upserts.select("mention_id"), Seq("mention_id"), "left_anti")
+      .unionByName(upserts)
+
+  /** Roll an increment into the state for the next ingestion cycle
+    * (production: four Iceberg appends + one MERGE INTO). */
+  def applyIncrement(state: IncrementState, inc: Increment): IncrementState =
+    IncrementState(
+      mentions = state.mentions.unionByName(inc.deltaMentions),
+      keyed = state.keyed.unionByName(inc.deltaKeyed),
+      reps = state.reps.unionByName(inc.deltaReps),
+      clusters = mergedClusters(state, inc.clusterUpserts))
 
   /** Append-only INCREMENTAL maintenance of a clustered corpus — the
     * operation a 10¹²-turn deployment actually runs every ingestion
-    * cycle: `newTurns` arrive and the update must cost O(delta) pair
-    * work, never a from-scratch re-score of the historical corpus.
+    * cycle: `newTurns` arrive and the update must cost O(delta) COMPUTE
+    * and O(delta) SHUFFLE, never a from-scratch re-score — or re-detect,
+    * re-key, re-group, or re-cluster — of the historical corpus.
     *
-    * Mechanics (pair generation and scoring ∝ delta; the only
-    * full-corpus passes are LINEAR slim-projection scans):
+    * Per-stage cost discipline (delta = the new mentions):
     *
-    *  1. detect ∪ coref-inherit mentions of the new turns only;
-    *  2. supernode grouping + block keys recomputed over old ∪ new —
-    *     linear map/group work, no pairing; a new mention joining an
-    *     existing surface group attaches via its member edge;
-    *  3. candidate pairs are generated ONLY inside blocks containing at
-    *     least one new mention (semi-join on the delta's block keys) and
-    *     then restricted to pairs touching a new mention — historical
-    *     pairs were scored by the base run and their edges are reused
-    *     verbatim;
-    *  4. connected components over base edges ∪ new edges ∪ fresh member
-    *     edges; cluster ids stay min-member.
+    *  1. detect ∪ coref-inherit over the new turns only — O(delta);
+    *  2. supernode attach: delta mentions of a KNOWN (norm, resolved)
+    *    group take the base representative from `state.reps` (sticky
+    *    reps — the base is never re-grouped); unseen groups mint new
+    *    reps by group-min over the delta. The reps probe is a semi-join
+    *    carve on the delta's distinct surface keys: a map-only scan of
+    *    the reps table when the key set broadcasts (the normal case),
+    *    never a corpus shuffle;
+    *  3. block keys (tokenize + MinHash) are computed for the delta
+    *    scoring set only; base members of delta-active blocks are
+    *    gathered from `state.keyed` by a semi-join on the delta's block
+    *    keys — a slim map-only scan, zero re-hashing of the base;
+    *  4. candidate pairs run over active blocks only (base ∪ delta
+    *    members, so size regimes match a from-scratch run exactly) and
+    *    are restricted to pairs touching a delta mention — historical
+    *    pairs keep their base edges verbatim; scoring payloads are
+    *    carved from `state.mentions` by pair-id semi-join (payload
+    *    vectors never cross a shuffle);
+    *  5. clustering CONTRACTS the new edges onto the existing
+    *    assignment: each endpoint maps to its current cluster id (or
+    *    itself if new) and connected components run over that O(delta)
+    *    contracted graph — sound because contracting connected subsets
+    *    preserves components, and min-member ids survive because each
+    *    existing cluster id is already its component's min. The full
+    *    edge set is never re-clustered.
     *
     * Semantics: EDGES ARE APPEND-ONLY — a pair once matched stays
     * matched even if a later increment changes which representative
@@ -261,129 +353,225 @@ object Pipeline {
     * increments. Increments must be conversation-complete: coref
     * inheritance reaches only within the increment's own turns, so route
     * a conversation's late turns into the same increment (or re-feed the
-    * conversation whole).
-    *
-    * `baseMentions`/`baseScoredEdges` are the previous run's tables
-    * ([[runCheckpointed]]'s `mentions` stage and the `kind='scored'`
-    * rows of its `edges` stage, or [[scoredEdges]] for a bootstrap). */
+    * conversation whole). Delta mention ids are assumed to sort after
+    * the base ids of their supernode group (true for time-ordered
+    * ingestion of (conv_id, turn_idx)-keyed ids), keeping sticky base
+    * reps identical to a from-scratch group-min. */
   def runIncremental(newTurns: Dataset[Turn],
                      dict: Map[String, DictEntry],
                      vecs: Map[String, Array[Float]],
-                     baseMentions: DataFrame,
-                     baseScoredEdges: DataFrame,
+                     state: IncrementState,
                      cfg: Config = Config()): Increment = CacheTracker.scoped {
-    val spark = newTurns.sparkSession
-    import org.apache.spark.storage.StorageLevel
-    val sc = spark.sparkContext
-    val deltaMs = CacheTracker.register(
+    val sc = newTurns.sparkSession.sparkContext
+    val deltaMs =
       allMentions(newTurns, sc.broadcast(dict), sc.broadcast(vecs), cfg)
-        .toDF().persist(StorageLevel.MEMORY_AND_DISK))
-    val (allMs, memberEdges, newEdges0) = incrementParts(baseMentions, deltaMs, cfg)
-    val newEdges = newEdges0.localCheckpoint(true)
-    val allScored = baseScoredEdges.unionByName(newEdges)
-      .dropDuplicates("src", "dst")
-    val out = assemble(allMs.toDF(), allScored, memberEdges, cfg)
+        .toDF().localCheckpoint(true)
+    val parts = incrementParts(deltaMs, state, cfg)
+    val memberEdges = parts.memberEdges.localCheckpoint(true)
+    val newEdges = parts.newEdges.localCheckpoint(true)
+    val upserts = incrementUpserts(deltaMs, parts.deltaReps, memberEdges,
+                                   newEdges, state, cfg)
       .localCheckpoint(true)
-    val deltaOut = deltaMs.localCheckpoint(true)
     CacheTracker.drainUnpersist()
-    Increment(deltaOut, newEdges, out)
+    Increment(deltaMs, parts.deltaKeyed, parts.deltaReps, newEdges,
+              memberEdges, upserts, mergedClusters(state, upserts))
   }
 
   /** [[runIncremental]] with resumable stage tables (north_rule
-    * resumability for the maintenance path too): the delta mention table,
-    * the new-edge table, and the updated clusters each land in
+    * resumability for the maintenance path too): the delta mention,
+    * keyed, reps, edge, and cluster-upsert tables each land in
     * `$root/<stage>` with a fingerprint manifest — a killed increment
     * redoes only unfinished stages, and a completed one is a pure read.
-    * The emitted `mentions_delta`/`edges_delta` tables are exactly what
-    * the caller appends to the base tables before the NEXT increment. */
+    * The staged tables are exactly what the caller appends/merges into
+    * the [[IncrementState]] tables before the NEXT increment. */
   def runIncrementalCheckpointed(newTurns: Dataset[Turn],
                                  dict: Map[String, DictEntry],
                                  vecs: Map[String, Array[Float]],
-                                 baseMentions: DataFrame,
-                                 baseScoredEdges: DataFrame,
+                                 state: IncrementState,
                                  root: String,
                                  fingerprint: String,
-                                 cfg: Config = Config()): DataFrame = CacheTracker.scoped {
+                                 cfg: Config = Config()): Increment = CacheTracker.scoped {
     val spark = newTurns.sparkSession
     val sc = spark.sparkContext
     val deltaMs = TableIO.stage(spark, "mentions_delta",
         s"$root/mentions_delta", fingerprint) {
       allMentions(newTurns, sc.broadcast(dict), sc.broadcast(vecs), cfg).toDF()
     }
-    val newEdges = TableIO.stage(spark, "edges_delta",
-        s"$root/edges_delta", fingerprint) {
-      incrementParts(baseMentions, deltaMs, cfg)._3
+    // incrementParts is EAGER (see its Scaladoc), so only run it when
+    // some delta stage is actually missing — a fully-staged rerun (the
+    // resume case) reads the tables and computes nothing. A partially-
+    // staged rerun recomputes all parts once and re-writes only the
+    // missing stages (stage() skips completed ones).
+    val partStages = Seq("reps_delta", "keyed_delta", "edges_delta")
+    lazy val parts = incrementParts(deltaMs, state, cfg)
+    if (!partStages.forall(n =>
+          TableIO.readFingerprint(s"$root/$n").contains(fingerprint))) {
+      parts: Unit // force the eager delta computation once
     }
-    val out = TableIO.stage(spark, "clusters", s"$root/clusters", fingerprint) {
-      // newEdges is a stage table read here — incrementParts' pair
-      // generation/scoring frames stay untouched (lazy); only the linear
-      // grouping reruns for member edges
-      val (allMs, memberEdges, _) = incrementParts(baseMentions, deltaMs, cfg)
-      val allScored = baseScoredEdges.unionByName(newEdges)
-        .dropDuplicates("src", "dst")
-      assemble(allMs.toDF(), allScored, memberEdges, cfg)
+    val repsDelta = TableIO.stage(spark, "reps_delta",
+        s"$root/reps_delta", fingerprint) { parts.deltaReps }
+    val keyedDelta = TableIO.stage(spark, "keyed_delta",
+        s"$root/keyed_delta", fingerprint) { parts.deltaKeyed }
+    val edgesDelta = TableIO.stage(spark, "edges_delta",
+        s"$root/edges_delta", fingerprint) {
+      parts.newEdges.withColumn("kind", lit("scored"))
+        .unionByName(parts.memberEdges.withColumn("kind", lit("member")))
+    }
+    val newEdges = edgesDelta.where(col("kind") === "scored").drop("kind")
+    val memberEdges = edgesDelta.where(col("kind") === "member").drop("kind")
+    val upserts = TableIO.stage(spark, "cluster_upserts",
+        s"$root/cluster_upserts", fingerprint) {
+      incrementUpserts(deltaMs, repsDelta, memberEdges, newEdges, state, cfg)
     }
     CacheTracker.drainUnpersist()
-    out
+    Increment(deltaMs, keyedDelta, repsDelta, newEdges, memberEdges,
+              upserts, mergedClusters(state, upserts))
   }
 
-  /** Shared increment machinery: (old ∪ new mentions, fresh member
-    * edges, new-involving scored edges) — all lazy except
-    * supernodeCollapse's id-count. */
-  private def incrementParts(baseMentions: DataFrame, deltaMs: DataFrame,
-                             cfg: Config)
-      : (Dataset[Mention], Option[DataFrame], DataFrame) = {
+  private[graft] case class IncParts(deltaKeyed: DataFrame, deltaReps: DataFrame,
+                              memberEdges: DataFrame, newEdges: DataFrame)
+
+  /** Delta-side increment machinery — EAGER: every multiply-referenced
+    * frame is `localCheckpoint(true)`d the moment it is defined. All of
+    * them are delta-sized, so the materialization is O(delta) by
+    * construction, and the lineage truncation is what keeps the query
+    * plans bounded — the alternative (one lazy DAG) re-nests each
+    * subtree at every reference and the plan tree grows exponentially
+    * with stage depth (measured: a 2 GiB plan string on the 300-conv
+    * fixture). Every touch of a base table is a slim semi-join carve
+    * (map-only scan when the delta-derived probe side broadcasts, which
+    * AQE decides from its measured size — never forced, so an unusually
+    * fat delta degrades to a shuffled join instead of an executor
+    * OOM). */
+  private[graft] def incrementParts(deltaMs: DataFrame, state: IncrementState,
+                             cfg: Config): IncParts = {
     val spark = deltaMs.sparkSession
     import spark.implicits._
-    import org.apache.spark.storage.StorageLevel
-    val allMs = CacheTracker.register(
-      baseMentions.unionByName(deltaMs).as[Mention]
-        .persist(StorageLevel.MEMORY_AND_DISK))
-    val (scoringMs0, memberEdges) =
-      if (cfg.supernode) supernodeCollapse(allMs, cfg) else (allMs, None)
-    val scoringMs = CacheTracker.register(
-      scoringMs0.persist(StorageLevel.MEMORY_AND_DISK))
-    val keyed = CacheTracker.register(
-      Blocking.withBlockKeys(scoringMs, cfg.lsh)
-        .persist(StorageLevel.MEMORY_AND_DISK))
-    val newIds = deltaMs.select(col("mention_id").as("mid"))
-    val activeKeys = keyed.join(newIds, Seq("mid"), "left_semi")
-      .select("block_key").distinct()
-    val keyedActive = keyed.join(activeKeys, Seq("block_key"), "left_semi")
-    val pairs0 = CacheTracker.register(
-      Blocking.candidatePairs(keyedActive, cfg.tau, cfg.blockMaxSize,
-                              cfg.starThreshold, cfg.starK)
-        .persist(StorageLevel.MEMORY_AND_DISK))
-    // two hash semi-joins, not one OR-condition join (which would plan a
-    // nested loop); the union double-counts new-new pairs → dedup
-    val pairs = pairs0
-      .join(newIds.withColumnRenamed("mid", "a_id"), Seq("a_id"), "left_semi")
-      .unionByName(pairs0
-        .join(newIds.withColumnRenamed("mid", "b_id"), Seq("b_id"), "left_semi"))
-      .dropDuplicates("a_id", "b_id")
-    val newEdges = Scoring.edges(Blocking.attachPayload(pairs, scoringMs), cfg.score)
-    (allMs, memberEdges, newEdges)
+    val isEligible = if (cfg.supernode) eligibleCond(cfg) else lit(false)
+    val slim = deltaMs.select(col("mention_id"), col("norm"), col("resolved"),
+                              col("resolvedScore"))
+    val eligible = slim.where(isEligible)
+
+    // sticky supernode attach: carve the active reps (groups the delta
+    // actually touches) out of the base reps table, then resolve each
+    // eligible delta mention to its group rep — base rep if known,
+    // delta group-min otherwise
+    val deltaKeys = eligible.select("norm", "resolved").distinct()
+    val activeReps = state.reps.join(deltaKeys, Seq("norm", "resolved"), "left_semi")
+    val withRep = eligible.join(activeReps, Seq("norm", "resolved"), "left")
+      .localCheckpoint(true)
+    val attachedEdges = withRep.where(col("rep_id").isNotNull)
+      .select(col("rep_id").as("src"), col("mention_id").as("dst"))
+    val fresh = withRep.where(col("rep_id").isNull).drop("rep_id")
+    val deltaReps = fresh.groupBy("norm", "resolved")
+      .agg(min("mention_id").as("rep_id"))
+      .localCheckpoint(true)
+    val freshEdges = fresh.join(deltaReps, Seq("norm", "resolved"))
+      .where(col("mention_id") =!= col("rep_id"))
+      .select(col("rep_id").as("src"), col("mention_id").as("dst"))
+    val memberEdges = attachedEdges.unionByName(freshEdges)
+
+    // delta scoring set: new reps + the low-margin/unresolved tail
+    val scoringIds = deltaReps.select(col("rep_id").as("mention_id"))
+      .unionByName(slim.where(!isEligible).select(col("mention_id")))
+      .localCheckpoint(true)
+    val scoringDeltaMs = deltaMs.join(scoringIds, Seq("mention_id"), "left_semi")
+      .as[Mention]
+
+    // tokenize + MinHash over the DELTA only; base members of active
+    // blocks come from the persisted keyed table
+    val deltaKeyed = Blocking.withBlockKeys(scoringDeltaMs, cfg.lsh)
+      .localCheckpoint(true)
+    val activeKeys = deltaKeyed.select("block_key").distinct()
+    val baseActive = state.keyed.join(activeKeys, Seq("block_key"), "left_semi")
+    val keyedActive = baseActive.unionByName(deltaKeyed).localCheckpoint(true)
+    // delta-aware pair generation: O(d·n) per active block, never the
+    // block's full O(n²) pair set — the output is delta-touching by
+    // construction (regime decisions still follow the FULL block size,
+    // so the pair set equals filtered candidatePairs exactly)
+    val pairs = Blocking.candidatePairsDelta(keyedActive,
+        scoringIds.select(col("mention_id").as("mid")),
+        cfg.tau, cfg.blockMaxSize, cfg.starThreshold, cfg.starK)
+      .localCheckpoint(true)
+    // scoring payload only for pair participants — the base mention
+    // table is scanned (semi-join carve), its payloads never shuffled
+    val pairIds = pairs.select(col("a_id").as("mention_id"))
+      .unionByName(pairs.select(col("b_id").as("mention_id"))).distinct()
+    val payloadMs = state.mentions.join(pairIds, Seq("mention_id"), "left_semi")
+      .unionByName(deltaMs.join(pairIds, Seq("mention_id"), "left_semi"))
+      .localCheckpoint(true)
+      .as[Mention]
+    val newEdges = Scoring.edges(Blocking.attachPayload(pairs, payloadMs), cfg.score)
+    IncParts(deltaKeyed, deltaReps, memberEdges, newEdges)
   }
 
-  /** Scored edge table of a from-scratch run over `ms` — the base-edge
-    * bootstrap for [[runIncremental]] ([[runCheckpointed]]'s edges stage
-    * persists exactly these rows with kind='scored'). */
-  def scoredEdges(ms: Dataset[Mention], cfg: Config = Config()): DataFrame =
-    CacheTracker.scoped {
-      import org.apache.spark.storage.StorageLevel
-      val msP = CacheTracker.register(ms.persist(StorageLevel.MEMORY_AND_DISK))
-      val (scoringMs0, _) =
-        if (cfg.supernode) supernodeCollapse(msP, cfg) else (msP, None)
-      val scoringMs = CacheTracker.register(
-        scoringMs0.persist(StorageLevel.MEMORY_AND_DISK))
-      val keyed = Blocking.withBlockKeys(scoringMs, cfg.lsh)
-      val pairIds = Blocking.candidatePairs(keyed, cfg.tau, cfg.blockMaxSize,
-                                            cfg.starThreshold, cfg.starK)
-      val out = Scoring.edges(Blocking.attachPayload(pairIds, scoringMs), cfg.score)
-        .localCheckpoint(true)
-      CacheTracker.drainUnpersist()
-      out
-    }
+  /** Cluster upsert rows for one increment: contract the new edges onto
+    * the existing assignment, run CC over the O(delta) contracted graph,
+    * and emit (a) historical rows of merged clusters with their new id,
+    * (b) delta scoring mentions, (c) delta members via their rep's
+    * cluster. Linear slim scans of `state.clusters` are the only base
+    * touches; output is O(delta + affected-cluster membership). */
+  private[graft] def incrementUpserts(deltaMs: DataFrame, deltaReps: DataFrame,
+                               memberEdges: DataFrame, newEdges: DataFrame,
+                               state: IncrementState, cfg: Config): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val metaCols = Seq("mention_id", "conv_id", "turn_idx", "begin", "end",
+                       "surface", "norm", "resolved")
+    val deltaMeta = deltaMs.select(metaCols.map(col): _*)
+    val baseAssign = state.clusters.select(col("mention_id").as("node"),
+                                           col("cluster_id"))
+
+    // contracted graph: endpoint → its current cluster (itself if new)
+    val ends = newEdges.select(col("src").as("node"))
+      .unionByName(newEdges.select(col("dst").as("node"))).distinct()
+    val endAssign = CacheTracker.register(
+      ends.join(baseAssign, Seq("node"), "left")
+        .select(col("node"), coalesce(col("cluster_id"), col("node")).as("cnode"))
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    val contracted = newEdges
+      .join(endAssign.withColumnRenamed("node", "src"), Seq("src"))
+      .withColumnRenamed("cnode", "csrc")
+      .join(endAssign.withColumnRenamed("node", "dst"), Seq("dst"))
+      .withColumnRenamed("cnode", "cdst")
+      .select(col("csrc").as("src"), col("cdst").as("dst"))
+    // sound: contracting each existing cluster (a connected subset) to
+    // one node preserves connected components; each existing cluster id
+    // is already the min over its scoring members, so the component min
+    // over contracted nodes IS the global min-member id
+    val remap = Clustering.connectedComponents(contracted, cfg.ccMaxIter)
+    val remapChanged = CacheTracker.register(
+      remap.where(col("node") =!= col("cluster_id"))
+        .select(col("node").as("old_cid"), col("cluster_id").as("new_cid"))
+        .persist(StorageLevel.MEMORY_AND_DISK))
+
+    // (a) historical rows of merged clusters
+    val baseUpserts = state.clusters
+      .join(remapChanged, state.clusters("cluster_id") === remapChanged("old_cid"))
+      .select(metaCols.map(state.clusters(_)) :+
+              remapChanged("new_cid").as("cluster_id"): _*)
+    // (b) delta scoring mentions: own node id, remapped if merged
+    val isEligible = if (cfg.supernode) eligibleCond(cfg) else lit(false)
+    val scoringIds = deltaReps.select(col("rep_id").as("mention_id"))
+      .unionByName(deltaMs.where(!isEligible).select(col("mention_id")))
+    val scoringRows = deltaMeta.join(scoringIds, Seq("mention_id"), "left_semi")
+      .join(remapChanged.withColumnRenamed("old_cid", "mention_id"),
+            Seq("mention_id"), "left")
+      .select(metaCols.map(col) :+
+              coalesce(col("new_cid"), col("mention_id")).as("cluster_id"): _*)
+    // (c) delta members: their rep's (possibly remapped) cluster
+    val repAssign = memberEdges.select(col("src").as("rep_id")).distinct()
+      .join(baseAssign.withColumnRenamed("node", "rep_id"), Seq("rep_id"), "left")
+      .select(col("rep_id"), coalesce(col("cluster_id"), col("rep_id")).as("cid0"))
+      .join(remapChanged.withColumnRenamed("old_cid", "cid0"), Seq("cid0"), "left")
+      .select(col("rep_id"), coalesce(col("new_cid"), col("cid0")).as("rep_cid"))
+    val memberRows = deltaMeta
+      .join(memberEdges.select(col("dst").as("mention_id"), col("src").as("rep_id")),
+            Seq("mention_id"))
+      .join(repAssign, Seq("rep_id"))
+      .select(metaCols.map(col) :+ col("rep_cid").as("cluster_id"): _*)
+
+    baseUpserts.unionByName(scoringRows).unionByName(memberRows)
+  }
 
   /** Checkpointed variant: every stage lands in `$root/<stage>` with a
     * manifest; a rerun with the same fingerprint resumes instead of

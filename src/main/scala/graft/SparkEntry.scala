@@ -598,12 +598,14 @@ object SparkEntry {
     }),
 
     // INCREMENTAL flagship: the corpus arrives in two conversation-
-    // disjoint batches; the second is applied via Pipeline.runIncremental
-    // over the first batch's mention/edge tables (O(delta) pair work,
-    // append-only edges). Must emit exactly q13's clusters — the operator
-    // under test is incremental maintenance, not new clustering
-    // semantics; equality-with-from-scratch and delta-boundedness are
-    // also property-gated in IncrementalSpec.
+    // disjoint batches; the first bootstraps the IncrementState base
+    // tables (mentions/keyed/reps/clusters), the second is applied via
+    // Pipeline.runIncremental (O(delta) detection, keying, pair work AND
+    // clustering — CC runs on the contracted delta graph only). Must emit
+    // exactly q13's clusters — the operator under test is incremental
+    // maintenance, not new clustering semantics; equality-with-from-
+    // scratch, delta-boundedness, and upsert-boundedness are also
+    // property-gated in IncrementalSpec.
     "q48_er_clusters_incremental" -> ((s, dir) => {
       import s.implicits._
       val turns = QueryLib.turnsDs(s, dir)
@@ -612,13 +614,12 @@ object SparkEntry {
       val (oldC, newC) = convs.splitAt(convs.length / 2)
       val dictBc = s.sparkContext.broadcast(QueryLib.bigramDict)
       val vecsBc = s.sparkContext.broadcast(Map.empty[String, Array[Float]])
-      val baseMs = Pipeline.allMentions(
+      val state = Pipeline.bootstrapState(Pipeline.allMentions(
         turns.where(col("conv_id").isInCollection(oldC)).as[Turn],
-        dictBc, vecsBc).toDF()
-      val baseEdges = Pipeline.scoredEdges(baseMs.as[Mention])
+        dictBc, vecsBc))
       val inc = Pipeline.runIncremental(
         turns.where(col("conv_id").isInCollection(newC)).as[Turn],
-        QueryLib.bigramDict, Map.empty, baseMs, baseEdges)
+        QueryLib.bigramDict, Map.empty, state)
       inc.clusters
         .select(col("mention_id"), col("cluster_id"), col("norm").as("bg"))
         .orderBy("mention_id")

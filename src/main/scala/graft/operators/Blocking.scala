@@ -93,35 +93,7 @@ object Blocking {
                      starThreshold: Int = 2048,
                      starK: Int = 3): DataFrame = {
     require(tau <= starThreshold, "regimes: cold <= tau < triangle <= starThreshold < star")
-
-    // Block purging (meta-blocking): a mention's nm:, ent: and all 16 LSH
-    // band keys are often IDENTICAL member sets (e.g. every mention of one
-    // hot surface form shares all its keys) — pairing each copy would
-    // materialize the same pair set 18x. Collapse keys with identical
-    // (size, member-set hash) to one representative key. The signature is
-    // (count, two independent sums of per-id hashes mod ~2³⁰ primes) —
-    // ~60 bits of hash entropy plus the exact size, so two same-size
-    // member sets collide with p ≈ 2⁻⁶⁰: negligible at any realistic
-    // block-key count. Pair-set equality with the naive join is
-    // property-tested (BlockingSpec).
-    val sigs = keyed.groupBy("block_key").agg(
-      count(lit(1)).as("key_n"),
-      sum(pmod(xxhash64(col("mid")), lit(1000000007L))).as("sig1"),
-      sum(pmod(xxhash64(col("mid"), lit(7)), lit(998244353L))).as("sig2"))
-    val repKeys = sigs
-      .where(col("key_n") >= 2 && col("key_n") <= blockMaxSize)
-      .groupBy("key_n", "sig1", "sig2")
-      .agg(min("block_key").as("block_key"))
-      .select("block_key", "key_n")
-
-    // Three regime branches + hub extraction each consume `rows` — persist
-    // it (it is the purged key table, far smaller than the pair output) so
-    // the keyed⋈repKeys join doesn't re-execute per branch. Registered
-    // with CacheTracker: the pipeline unpersists it once the stage output
-    // is materialized.
-    val rows = graft.CacheTracker.register(
-      keyed.join(repKeys, Seq("block_key"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val rows = purgedRows(keyed, blockMaxSize)
 
     val cold = rows.where(col("key_n") <= tau).select(col("block_key"), col("mid"))
     val coldPairs = cold.as("L").join(cold.as("R"), Seq("block_key"))
@@ -149,18 +121,7 @@ object Blocking {
     // shuffle skew at all on the giant side.
     val giant = rows.where(col("key_n") > starThreshold)
       .select(col("block_key"), col("mid"))
-    // K smallest ids per giant block via the partial-aggregating TopKAgg
-    // (equal scores → payload-asc = min-K); no collect_list, so a block
-    // with 10^8 members still only ships K rows per partition.
-    val spark = keyed.sparkSession
-    import spark.implicits._
-    val minK = new graft.functions.TopKAgg(starK).toColumn
-    val hubs = giant.as[(String, String)]
-      .map { case (k, mid) => (k, (0.0, mid)) }
-      .groupByKey(_._1).mapValues(_._2)
-      .agg(minK.name("top"))
-      .toDF("block_key", "top")
-      .select(col("block_key"), explode(expr("transform(top, x -> x._2)")).as("hub_id"))
+    val hubs = starHubs(giant, starK)
     val starPairs = giant.join(broadcast(hubs), Seq("block_key"))
       .where(col("mid") =!= col("hub_id"))
       .select(least(col("mid"), col("hub_id")).as("a_id"),
@@ -168,6 +129,127 @@ object Blocking {
 
     // The same pair can arrive via several block keys (exact + LSH bands)
     // and, on the hot/star paths, in either order — dedupe on the id pair.
+    coldPairs.union(hotPairs).union(starPairs)
+      .dropDuplicates("a_id", "b_id")
+  }
+
+  /** Block purging (meta-blocking): a mention's nm:, ent: and all 16 LSH
+    * band keys are often IDENTICAL member sets (e.g. every mention of one
+    * hot surface form shares all its keys) — pairing each copy would
+    * materialize the same pair set 18x. Collapse keys with identical
+    * (size, member-set hash) to one representative key. The signature is
+    * (count, two independent sums of per-id hashes mod ~2³⁰ primes) —
+    * ~60 bits of hash entropy plus the exact size, so two same-size
+    * member sets collide with p ≈ 2⁻⁶⁰: negligible at any realistic
+    * block-key count. Pair-set equality with the naive join is
+    * property-tested (BlockingSpec). Returns the purged (block_key, mid,
+    * key_n) member rows — singleton and beyond-`blockMaxSize` keys
+    * dropped — persisted (several regime branches consume it; it is the
+    * purged key table, far smaller than the pair output) and registered
+    * with CacheTracker so the pipeline unpersists it once the stage
+    * output is materialized. */
+  private def purgedRows(keyed: DataFrame, blockMaxSize: Int): DataFrame = {
+    val sigs = keyed.groupBy("block_key").agg(
+      count(lit(1)).as("key_n"),
+      sum(pmod(xxhash64(col("mid")), lit(1000000007L))).as("sig1"),
+      sum(pmod(xxhash64(col("mid"), lit(7)), lit(998244353L))).as("sig2"))
+    val repKeys = sigs
+      .where(col("key_n") >= 2 && col("key_n") <= blockMaxSize)
+      .groupBy("key_n", "sig1", "sig2")
+      .agg(min("block_key").as("block_key"))
+      .select("block_key", "key_n")
+    graft.CacheTracker.register(
+      keyed.join(repKeys, Seq("block_key"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+  }
+
+  /** K smallest ids per giant block via the partial-aggregating TopKAgg
+    * (equal scores → payload-asc = min-K); no collect_list, so a block
+    * with 10^8 members still only ships K rows per partition. */
+  private def starHubs(giant: DataFrame, starK: Int): DataFrame = {
+    val spark = giant.sparkSession
+    import spark.implicits._
+    val minK = new graft.functions.TopKAgg(starK).toColumn
+    giant.select(col("block_key"), col("mid")).as[(String, String)]
+      .map { case (k, mid) => (k, (0.0, mid)) }
+      .groupByKey(_._1).mapValues(_._2)
+      .agg(minK.name("top"))
+      .toDF("block_key", "top")
+      .select(col("block_key"), explode(expr("transform(top, x -> x._2)")).as("hub_id"))
+  }
+
+  /** The DELTA-TOUCHING subset of [[candidatePairs]]`(keyed, ...)` —
+    * every pair with at least one endpoint in `deltaIds` (a one-column
+    * `mid` frame) — generated WITHOUT materializing the historical pair
+    * volume. This is the incremental-maintenance pair stage: a block of
+    * n members with d delta members costs O(d·n) here vs the O(n²) of
+    * generate-then-filter, which at a 10% ingestion delta over a mostly-
+    * historical corpus is the difference between delta-bounded work and
+    * a de-facto full re-pair (the purge/size signatures are still
+    * computed over the full member rows — a linear scan — so every
+    * regime decision matches a from-scratch run on the same `keyed`
+    * exactly; pair-set equality with filtered [[candidatePairs]] is
+    * property-tested in BlockingSpec).
+    *
+    * Regimes (full block size n decides, as from-scratch):
+    *  - n ≤ tau: delta rows ⋈ block rows, one task per block.
+    *  - tau < n ≤ starThreshold: same pair semantics, but the full side
+    *    is salted into ceil(n/tau) groups and each delta row replicated
+    *    across them, so no task sees more than ~tau rows of one key —
+    *    the triangle join's skew bound with a delta-sized left side.
+    *  - n > starThreshold: delta members × the block's full hub set,
+    *    plus all members × delta hubs (rare: a delta id entering the
+    *    K-min hub set) — exactly the delta-touching star pairs.
+    */
+  def candidatePairsDelta(keyed: DataFrame, deltaIds: DataFrame,
+                          tau: Int = 512,
+                          blockMaxSize: Int = 10000000,
+                          starThreshold: Int = 2048,
+                          starK: Int = 3): DataFrame = {
+    require(tau <= starThreshold, "regimes: cold <= tau < triangle <= starThreshold < star")
+    val rows = purgedRows(keyed, blockMaxSize)
+    val rowsD = graft.CacheTracker.register(
+      rows.join(deltaIds, Seq("mid"), "left_semi")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+    val cold = rows.where(col("key_n") <= tau)
+    val coldD = rowsD.where(col("key_n") <= tau)
+    val coldPairs = coldD.select(col("block_key"), col("mid").as("l_mid"))
+      .join(cold.select(col("block_key"), col("mid").as("r_mid")), Seq("block_key"))
+      .where(col("l_mid") =!= col("r_mid"))
+      .select(least(col("l_mid"), col("r_mid")).as("a_id"),
+              greatest(col("l_mid"), col("r_mid")).as("b_id"))
+
+    val nGroups = ceil(col("key_n").cast("double") / tau).cast("int")
+    val hot = rows.where(col("key_n") > tau && col("key_n") <= starThreshold)
+      .select(col("block_key"),
+              pmod(xxhash64(col("mid")), nGroups).cast("int").as("grp"),
+              col("mid").as("r_mid"))
+    val hotD = rowsD.where(col("key_n") > tau && col("key_n") <= starThreshold)
+      .select(col("block_key"),
+              explode(sequence(lit(0), nGroups - 1)).as("grp"),
+              col("mid").as("l_mid"))
+    val hotPairs = hotD.join(hot, Seq("block_key", "grp"))
+      .where(col("l_mid") =!= col("r_mid"))
+      .select(least(col("l_mid"), col("r_mid")).as("a_id"),
+              greatest(col("l_mid"), col("r_mid")).as("b_id"))
+
+    val giant = rows.where(col("key_n") > starThreshold)
+      .select(col("block_key"), col("mid"))
+    val giantD = rowsD.where(col("key_n") > starThreshold)
+      .select(col("block_key"), col("mid"))
+    val hubs = graft.CacheTracker.register(
+      starHubs(giant, starK)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val hubsD = hubs.join(deltaIds.withColumnRenamed("mid", "hub_id"),
+                          Seq("hub_id"), "left_semi")
+    val starPairs = giantD.join(broadcast(hubs), Seq("block_key"))
+      .unionByName(giant.join(broadcast(hubsD), Seq("block_key"))
+        .select(col("hub_id"), col("block_key"), col("mid")))
+      .where(col("mid") =!= col("hub_id"))
+      .select(least(col("mid"), col("hub_id")).as("a_id"),
+              greatest(col("mid"), col("hub_id")).as("b_id"))
+
     coldPairs.union(hotPairs).union(starPairs)
       .dropDuplicates("a_id", "b_id")
   }

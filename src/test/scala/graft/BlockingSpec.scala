@@ -78,6 +78,45 @@ class BlockingSpec extends SparkSpec {
     assert((0 until n).map(i => find(f"m$i%05d")).toSet.size == 1)
   }
 
+  test("candidatePairsDelta == filtered candidatePairs across all regimes") {
+    // fixture spans every regime: cold keys, a triangle-salted hot key,
+    // and a star-regime giant key; random delta subsets of varying share
+    for (seed <- Seq(1, 7, 13); deltaShare <- Seq(0.05, 0.3)) {
+      val keyed = keyedFixture(seed, 500, 25, 0.35)
+        .unionByName((0 until 120).map(i => ("giant", f"g$i%05d")).toDF("block_key", "mid"))
+        .cache()
+      val rng = new scala.util.Random(seed * 31)
+      val allIds = keyed.select("mid").distinct().as[String].collect().sorted
+      val deltaSet = allIds.filter(_ => rng.nextDouble() < deltaShare).toSet
+      val deltaIds = deltaSet.toSeq.toDF("mid")
+
+      val full = Blocking.candidatePairs(keyed, tau = 30, blockMaxSize = 100000,
+                                         starThreshold = 80, starK = 3)
+        .as[(String, String)].collect().toSet
+      val expected = full.filter { case (a, b) =>
+        deltaSet.contains(a) || deltaSet.contains(b) }
+      val got = Blocking.candidatePairsDelta(keyed, deltaIds, tau = 30,
+                                             blockMaxSize = 100000,
+                                             starThreshold = 80, starK = 3)
+        .as[(String, String)].collect().toSet
+      assert(got == expected, s"seed=$seed deltaShare=$deltaShare")
+      keyed.unpersist()
+    }
+  }
+
+  test("candidatePairsDelta: a delta id inside the star hub set pairs with all members") {
+    val n = 40
+    val keyed = (0 until n).map(i => ("giant", f"m$i%05d")).toDF("block_key", "mid")
+    // m00001 is the 2nd-smallest id → a hub; it is the only delta id
+    val deltaIds = Seq("m00001").toDF("mid")
+    val got = Blocking.candidatePairsDelta(keyed, deltaIds, tau = 5,
+                                           blockMaxSize = 1000,
+                                           starThreshold = 20, starK = 3)
+      .as[(String, String)].collect().toSet
+    assert(got.size == n - 1) // the hub pairs with every other member
+    assert(got.forall { case (a, b) => a == "m00001" || b == "m00001" })
+  }
+
   test("block keys contain exact norm, LSH band, and candidate-entity keys") {
     val ms = Seq(mention(1, "bakozu corp")).toDS()
     val keys = Blocking.withBlockKeys(ms).select("block_key").as[String].collect()

@@ -1,12 +1,14 @@
 package graft
 
-import graft.model.{Mention, Turn}
+import graft.model.Turn
 import graft.sources.TranscriptGen
 import org.apache.spark.sql.functions._
 
 /** Incremental maintenance gate: appending new conversations via
-  * Pipeline.runIncremental must reproduce the from-scratch clustering on
-  * the F1 fixtures (clean-scorer corpora), with pair work delta-bound. */
+  * Pipeline.runIncremental over the IncrementState base tables must
+  * reproduce the from-scratch clustering on the F1 fixtures
+  * (clean-scorer corpora), with pair work delta-bound and every upsert
+  * row accounted for (delta rows + merged-cluster rewrites only). */
 class IncrementalSpec extends SparkSpec {
   import spark.implicits._
 
@@ -25,15 +27,17 @@ class IncrementalSpec extends SparkSpec {
   private def convSlice(convs: Seq[String]) =
     turns.where(col("conv_id").isInCollection(convs)).as[Turn]
 
+  private def stateOf(convs: Seq[String]): Pipeline.IncrementState =
+    Pipeline.bootstrapState(Pipeline.allMentions(convSlice(convs), dictBc, vecsBc))
+
   private lazy val convs: Seq[String] =
     turns.select("conv_id").distinct().as[String].collect().sorted.toSeq
 
   test("one increment reproduces the from-scratch clustering; pair work is delta-bound") {
     val (oldConvs, newConvs) = convs.splitAt((convs.length * 0.6).toInt)
-    val baseMs = Pipeline.allMentions(convSlice(oldConvs), dictBc, vecsBc).toDF().cache()
-    val baseEdges = Pipeline.scoredEdges(baseMs.as[Mention]).cache()
+    val state = stateOf(oldConvs)
 
-    val inc = Pipeline.runIncremental(convSlice(newConvs), dict, vecs, baseMs, baseEdges)
+    val inc = Pipeline.runIncremental(convSlice(newConvs), dict, vecs, state)
     assert(assign(inc.clusters) == assign(full))
 
     // delta-bound: every newly scored edge touches a delta mention
@@ -43,6 +47,16 @@ class IncrementalSpec extends SparkSpec {
     assert(newEdges.nonEmpty)
     assert(newEdges.forall { case (s, d) => deltaIds.contains(s) || deltaIds.contains(d) },
       "an incremental edge re-scored a historical pair")
+
+    // upsert-bound: every upsert row is a delta mention or a historical
+    // row whose cluster id actually changed
+    val baseAssign = assign(state.clusters)
+    val ups = inc.clusterUpserts.select("mention_id", "cluster_id")
+      .as[(String, String)].collect()
+    assert(ups.nonEmpty)
+    assert(ups.forall { case (m, c) =>
+      deltaIds.contains(m) || baseAssign.get(m).exists(_ != c)
+    }, "an upsert row rewrote an unchanged historical assignment")
   }
 
   test("chained increments equal from-scratch and pass the F1 gate") {
@@ -50,14 +64,12 @@ class IncrementalSpec extends SparkSpec {
     val (a, rest) = convs.splitAt(third)
     val (b, c) = rest.splitAt(third)
 
-    val baseMs = Pipeline.allMentions(convSlice(a), dictBc, vecsBc).toDF().cache()
-    val baseEdges = Pipeline.scoredEdges(baseMs.as[Mention]).cache()
-
-    val inc1 = Pipeline.runIncremental(convSlice(b), dict, vecs, baseMs, baseEdges)
-    // chain: append the delta tables (what production appends to Iceberg)
-    val ms2 = baseMs.unionByName(inc1.deltaMentions).cache()
-    val edges2 = baseEdges.unionByName(inc1.newEdges).cache()
-    val inc2 = Pipeline.runIncremental(convSlice(c), dict, vecs, ms2, edges2)
+    val state0 = stateOf(a)
+    val inc1 = Pipeline.runIncremental(convSlice(b), dict, vecs, state0)
+    // chain: roll the delta tables into the state (what production
+    // appends/merges into the Iceberg base tables)
+    val state1 = Pipeline.applyIncrement(state0, inc1)
+    val inc2 = Pipeline.runIncremental(convSlice(c), dict, vecs, state1)
 
     assert(assign(inc2.clusters) == assign(full))
     val f1 = Pipeline.pairwiseF1(inc2.clusters, gold, dict)
@@ -68,17 +80,16 @@ class IncrementalSpec extends SparkSpec {
   test("checkpointed increment == from-scratch; same-fingerprint rerun resumes") {
     val dir = java.nio.file.Files.createTempDirectory("graft-inc").toString
     val (oldConvs, newConvs) = convs.splitAt((convs.length * 0.6).toInt)
-    val baseMs = Pipeline.allMentions(convSlice(oldConvs), dictBc, vecsBc).toDF().cache()
-    val baseEdges = Pipeline.scoredEdges(baseMs.as[Mention]).cache()
+    val state = stateOf(oldConvs)
 
-    val out1 = Pipeline.runIncrementalCheckpointed(
-      convSlice(newConvs), dict, vecs, baseMs, baseEdges, dir, "fp1")
-    assert(assign(out1) == assign(full))
+    val inc1 = Pipeline.runIncrementalCheckpointed(
+      convSlice(newConvs), dict, vecs, state, dir, "fp1")
+    assert(assign(inc1.clusters) == assign(full))
 
     // resume proof: EMPTY new turns but the same fingerprint — the full
     // clustering must come back from the stage tables alone
-    val out2 = Pipeline.runIncrementalCheckpointed(
-      spark.emptyDataset[Turn], dict, vecs, baseMs, baseEdges, dir, "fp1")
-    assert(assign(out2) == assign(full))
+    val inc2 = Pipeline.runIncrementalCheckpointed(
+      spark.emptyDataset[Turn], dict, vecs, state, dir, "fp1")
+    assert(assign(inc2.clusters) == assign(full))
   }
 }
