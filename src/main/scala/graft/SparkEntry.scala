@@ -449,7 +449,7 @@ object SparkEntry {
       val qs = corpus.where(col("id") < 10)
       val idxDir = new java.io.File(sys.props("java.io.tmpdir"),
         s"graft_q37_lsh_idx_${s.sparkContext.applicationId}").getAbsolutePath
-      operators.Ann.buildLshIndex(corpus, idxDir, bands = 8, rows = 8, pfxBits = 4)
+      operators.Ann.buildLshIndex(corpus, idxDir, bands = 8, rows = 8)
       operators.Ann.lshTopKIndexed(s, idxDir, qs, k = 5)
         .orderBy("q_id", "rank")
     }),

@@ -336,28 +336,48 @@ object Ann {
   // time. Within a partition, rows are sorted by (bucket, id) so the
   // residual exact-bucket equi-join scans tight row groups.
 
+  /** Partition fan-out sized to the data: enough prefix bits that a
+    * (band, pfx) partition holds ~`targetRows` index rows, clamped to
+    * [0, min(rows, 10)] — 10 caps the directory count at bands × 1024,
+    * past which filesystem metadata (or an object store's LIST) costs
+    * more than the extra pruning saves. A fixed fan-out is wrong at both
+    * ends: 128 dirs over a 500-row corpus is multi-second file-open
+    * overhead per build AND per read (measured), while one dir over 10⁹
+    * vectors makes the literal partition filter prune nothing. */
+  def autoPfxBits(corpusRows: Long, bands: Int, rows: Int,
+                  targetRows: Long = 1000000L): Int = {
+    val perBand = math.max(1L, corpusRows) // each vector appears once per band
+    val want = 63 - java.lang.Long.numberOfLeadingZeros(
+      math.max(1L, perBand / targetRows))
+    math.max(0, math.min(math.min(rows, 10), want))
+  }
+
   /** Build and persist a random-hyperplane LSH index for `corpus` under
     * `dir`. Storage is bands× the corpus (each vector appears once per
     * band) — the classic LSH space/recall trade, now on disk where it is
-    * cheap, instead of recomputed per query batch. */
+    * cheap, instead of recomputed per query batch. `pfxBits < 0` (the
+    * default) sizes the partition fan-out from a corpus count via
+    * [[autoPfxBits]] — the count rides the same full pass the build
+    * needs anyway. */
   def buildLshIndex(corpus: DataFrame, dir: String, bands: Int = 8,
-                    rows: Int = 16, pfxBits: Int = 6, roundTo: Int = 5): Unit = {
-    require(rows <= 62 && pfxBits >= 0 && pfxBits <= rows,
-            "supported: rows<=62, 0<=pfxBits<=rows")
+                    rows: Int = 16, pfxBits: Int = -1, roundTo: Int = 5): Unit = {
+    require(rows <= 62 && pfxBits <= rows, "supported: rows<=62, pfxBits<=rows")
     val spark = corpus.sparkSession
     import spark.implicits._
+    val pfxBitsEff =
+      if (pfxBits >= 0) pfxBits else autoPfxBits(corpus.count(), bands, rows)
     corpus.select(col("id"), col("vec")).as[(Long, Array[Float])]
       .flatMap { case (id, vec) =>
         (0 until bands).map { b =>
           val sig = bandSignature(vec, b, rows)
-          (b, sig >>> (rows - pfxBits), sig, id, vec)
+          (b, sig >>> (rows - pfxBitsEff), sig, id, vec)
         }
       }.toDF("band", "pfx", "bucket", "id", "vec")
       .repartition(col("band"), col("pfx"))
       .sortWithinPartitions("bucket", "id")
       .write.mode("overwrite").partitionBy("band", "pfx").parquet(s"$dir/data")
     java.nio.file.Files.write(java.nio.file.Paths.get(dir, "lsh.json"),
-      s"""{"bands":$bands,"rows":$rows,"pfxBits":$pfxBits,"roundTo":$roundTo}"""
+      s"""{"bands":$bands,"rows":$rows,"pfxBits":$pfxBitsEff,"roundTo":$roundTo}"""
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
   }
 

@@ -194,6 +194,22 @@ class AnnSpec extends SparkSpec {
            canon(Ann.lshTopK(emb, qs1, 5, multiProbe = 0)))
   }
 
+  test("auto-sized pfxBits: tiny corpus gets 0, huge gets clamped; auto build ≡ explicit") {
+    assert(Ann.autoPfxBits(500L, 8, 16) == 0)
+    assert(Ann.autoPfxBits(2000000L, 8, 16) == 1)
+    assert(Ann.autoPfxBits(1000000000L, 8, 16) == 9)
+    assert(Ann.autoPfxBits(1L << 60, 8, 16) == 10)  // dir-count clamp
+    assert(Ann.autoPfxBits(1L << 60, 8, 4) == 4)    // rows clamp
+    val dirAuto = java.nio.file.Files.createTempDirectory("graft-lshauto").toString
+    Ann.buildLshIndex(emb, dirAuto, bands = 8, rows = 16) // pfxBits auto
+    assert(Ann.loadLshIndexMeta(dirAuto)._3 == 0) // small fixture → 0
+    val qs = emb.where(col("id") < 5)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("q_id", "rank").collect().map(_.toString).toSeq
+    assert(canon(Ann.lshTopKIndexed(spark, dirAuto, qs, 5)) ==
+           canon(Ann.lshTopK(emb, qs, 5)))
+  }
+
   test("indexed LSH query physically reads only probed (band, pfx) partitions") {
     // clusters of EXACT duplicates: every query's own bucket is non-empty
     // in every band, so the query can't collapse to an empty relation
