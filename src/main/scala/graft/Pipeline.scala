@@ -293,6 +293,46 @@ object Pipeline {
       IncrementState(msDf, keyed, reps, clusters)
     }
 
+  /** [[bootstrapState]] with every state table landed as a resumable
+    * stage table under `$root/<name>` — the production backfill: a killed
+    * bootstrap redoes only unfinished tables, a finished one is a pure
+    * read, and the resulting directories ARE the base tables subsequent
+    * [[runIncremental]] cycles scan (appends land beside them). The
+    * mentions stage is shared with [[runCheckpointed]]'s layout so an
+    * existing flagship checkpoint seeds the state without re-detecting. */
+  def bootstrapStateCheckpointed(turns: Dataset[Turn],
+                                 dict: Map[String, DictEntry],
+                                 vecs: Map[String, Array[Float]],
+                                 root: String,
+                                 fingerprint: String,
+                                 cfg: Config = Config()): IncrementState =
+    CacheTracker.scoped {
+      val spark = turns.sparkSession
+      import spark.implicits._
+      val sc = spark.sparkContext
+      val msDf = TableIO.stage(spark, "mentions", s"$root/mentions", fingerprint) {
+        allMentions(turns, sc.broadcast(dict), sc.broadcast(vecs), cfg).toDF()
+      }
+      // the in-memory bootstrap over the staged mentions is cheap to
+      // re-enter on resume only when every downstream stage exists;
+      // otherwise build once and stage each table
+      val names = Seq("keyed", "reps", "clusters")
+      if (names.forall(n => TableIO.readFingerprint(s"$root/$n").contains(fingerprint))) {
+        IncrementState(
+          msDf,
+          TableIO.stage(spark, "keyed", s"$root/keyed", fingerprint)(sys.error("staged")),
+          TableIO.stage(spark, "reps", s"$root/reps", fingerprint)(sys.error("staged")),
+          TableIO.stage(spark, "clusters", s"$root/clusters", fingerprint)(sys.error("staged")))
+      } else {
+        val built = bootstrapState(msDf.as[Mention], cfg)
+        IncrementState(
+          msDf,
+          TableIO.stage(spark, "keyed", s"$root/keyed", fingerprint)(built.keyed),
+          TableIO.stage(spark, "reps", s"$root/reps", fingerprint)(built.reps),
+          TableIO.stage(spark, "clusters", s"$root/clusters", fingerprint)(built.clusters))
+      }
+    }
+
   /** MERGE INTO analogue: the base clusters table with an increment's
     * upsert rows applied. */
   def mergedClusters(state: IncrementState, upserts: DataFrame): DataFrame =

@@ -77,6 +77,24 @@ class IncrementalSpec extends SparkSpec {
     assert(f1.f1 >= 0.99)
   }
 
+  test("checkpointed bootstrap == in-memory bootstrap; rerun is a pure read") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-boot").toString
+    val (oldConvs, newConvs) = convs.splitAt((convs.length * 0.6).toInt)
+    val mem = stateOf(oldConvs)
+    val ck = Pipeline.bootstrapStateCheckpointed(
+      convSlice(oldConvs), dict, vecs, dir, "fp1")
+    assert(assign(ck.clusters) == assign(mem.clusters))
+    assert(ck.keyed.count() == mem.keyed.count())
+    assert(ck.reps.count() == mem.reps.count())
+    // resume: same fingerprint, EMPTY turns — everything reads from disk
+    val ck2 = Pipeline.bootstrapStateCheckpointed(
+      spark.emptyDataset[Turn], dict, vecs, dir, "fp1")
+    assert(assign(ck2.clusters) == assign(mem.clusters))
+    // and an increment over the disk-backed state matches from-scratch
+    val inc = Pipeline.runIncremental(convSlice(newConvs), dict, vecs, ck2)
+    assert(assign(inc.clusters) == assign(full))
+  }
+
   test("checkpointed increment == from-scratch; same-fingerprint rerun resumes") {
     val dir = java.nio.file.Files.createTempDirectory("graft-inc").toString
     val (oldConvs, newConvs) = convs.splitAt((convs.length * 0.6).toInt)
