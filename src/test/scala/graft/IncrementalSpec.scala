@@ -77,6 +77,19 @@ class IncrementalSpec extends SparkSpec {
     assert(f1.f1 >= 0.99)
   }
 
+  test("backfill (delta ids sort BEFORE base): same partition, labels may differ") {
+    // runIncremental documents the delta-after-base id assumption for
+    // LABEL equality; backfilling older conversations must still produce
+    // the same clustering AS A PARTITION (sticky base reps keep the edge
+    // set connecting the same groups; only min-id labels can shift)
+    def partition(df: org.apache.spark.sql.DataFrame): Set[Set[String]] =
+      assign(df).groupBy(_._2).values.map(_.keySet).toSet
+    val (early, late) = convs.splitAt((convs.length * 0.4).toInt)
+    val state = stateOf(late) // base = LATER conv ids
+    val inc = Pipeline.runIncremental(convSlice(early), dict, vecs, state)
+    assert(partition(inc.clusters) == partition(full))
+  }
+
   test("checkpointed bootstrap == in-memory bootstrap; rerun is a pure read") {
     val dir = java.nio.file.Files.createTempDirectory("graft-boot").toString
     val (oldConvs, newConvs) = convs.splitAt((convs.length * 0.6).toInt)
