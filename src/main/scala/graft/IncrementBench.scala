@@ -23,6 +23,16 @@ import org.apache.spark.sql.functions._
   * `sbt "runMain graft.IncrementBench"`; GRAFT_INC_CONVS sizes the
   * corpus (default 200k convs ≈ 1.3M turns), GRAFT_INC_FRAC the delta
   * share (default 0.1).
+  *
+  * Scaling protocol (the north-rule two-cluster-size criterion applied
+  * to the steady-state maintenance job): set GRAFT_INC_STATE_DIR so the
+  * base tables come from [[Pipeline.bootstrapStateCheckpointed]] — the
+  * first run builds and stages them, every later run at any SPARK_GRAFT_CPUS
+  * is a pure disk read (the realistic shape: production scans Iceberg
+  * base tables, it does not hold them in the increment's JVM) — and
+  * GRAFT_INC_SKIP_FULL=1 to time only the increment. Then interleave
+  * fresh JVMs at 2 and 8 cores on the identical staged state and report
+  * (thr_8/thr_2)/4.
   */
 object IncrementBench {
   def main(args: Array[String]): Unit = {
@@ -49,8 +59,13 @@ object IncrementBench {
     val dictBc = spark.sparkContext.broadcast(dict)
     val vecsBc = spark.sparkContext.broadcast(vecs)
     val t0 = System.nanoTime()
-    val state = Pipeline.bootstrapState(
-      Pipeline.allMentions(baseTurns, dictBc, vecsBc))
+    val state = sys.env.get("GRAFT_INC_STATE_DIR") match {
+      case Some(root) =>
+        Pipeline.bootstrapStateCheckpointed(baseTurns, dict, vecs, root,
+          s"incbench:$nConvs:$deltaFrac:v1")
+      case None =>
+        Pipeline.bootstrapState(Pipeline.allMentions(baseTurns, dictBc, vecsBc))
+    }
     val baseS = (System.nanoTime() - t0) / 1e9
 
     // timed: the increment (before the full run, so warm-up bias favors
@@ -61,17 +76,19 @@ object IncrementBench {
     val incS = (System.nanoTime() - t1) / 1e9
     val nClusters = inc.clusters.count()
 
-    // timed: from-scratch over 100%
+    // timed: from-scratch over 100% (skippable for scaling reps where
+    // only the increment is under test)
+    val skipFull = sys.env.get("GRAFT_INC_SKIP_FULL").contains("1")
     val t2 = System.nanoTime()
-    val fullClusters = Pipeline.run(turns, dict, vecs)
-    val nFull = fullClusters.count()
-    val fullS = (System.nanoTime() - t2) / 1e9
+    val nFull = if (skipFull) -1L else Pipeline.run(turns, dict, vecs).count()
+    val fullS = if (skipFull) -1.0 else (System.nanoTime() - t2) / 1e9
 
     val json =
       s"""{"metric":"increment_bench","convs":$nConvs,"turns":$nTurns,""" +
       s""""delta_frac":$deltaFrac,"delta_turns":$nDelta,""" +
       s""""base_s":$baseS,"inc_s":$incS,"full_s":$fullS,""" +
-      s""""speedup_vs_full":${fullS / incS},""" +
+      s""""speedup_vs_full":${if (skipFull) 0.0 else fullS / incS},""" +
+      s""""delta_turns_per_sec":${nDelta / incS},""" +
       s""""upsert_rows":$nUpserts,"inc_rows":$nClusters,"full_rows":$nFull,""" +
       s""""ncpu":$cpus}"""
     println(json)

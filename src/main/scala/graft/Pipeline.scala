@@ -403,9 +403,38 @@ object Pipeline {
                      state: IncrementState,
                      cfg: Config = Config()): Increment = CacheTracker.scoped {
     val sc = newTurns.sparkSession.sparkContext
-    val deltaMs =
-      allMentions(newTurns, sc.broadcast(dict), sc.broadcast(vecs), cfg)
-        .toDF().localCheckpoint(true)
+    incrementFrom(
+      allMentions(newTurns, sc.broadcast(dict), sc.broadcast(vecs), cfg).toDF(),
+      state, cfg)
+  }
+
+  /** [[runIncremental]] for the DISTRIBUTED-dimension configuration
+    * ([[runJoined]]'s 100-TB shape): delta detection ∪ coref-inherit via
+    * the Bloom-prefiltered dictionary equi-join and ED via the vector
+    * dimension join — no driver Map anywhere, so incremental maintenance
+    * works at REL-scale dictionary/vector sizes too. Everything after
+    * detection is [[runIncremental]]'s machinery verbatim. */
+  def runJoinedIncremental(newTurns: Dataset[Turn],
+                           dictDf: Dataset[DictEntry],
+                           vecDf: DataFrame,
+                           state: IncrementState,
+                           cfg: Config = Config(),
+                           expectedDictKeys: Long = 0L,
+                           bloomFpp: Double = 0.01): Increment = CacheTracker.scoped {
+    val ms0 =
+      if (cfg.coref)
+        Coref.detectAndInheritJoined(newTurns, dictDf, expectedDictKeys, bloomFpp)
+      else
+        MentionDetect.runJoined(newTurns, dictDf,
+          newTurns.sparkSession.sparkContext.broadcast(Map.empty[String, Array[Float]]),
+          expectedDictKeys, bloomFpp)
+    incrementFrom(MentionDetect.resolveJoined(ms0, vecDf).toDF(), state, cfg)
+  }
+
+  /** Shared increment tail over an already-detected delta mention frame. */
+  private def incrementFrom(deltaMs0: DataFrame, state: IncrementState,
+                            cfg: Config): Increment = {
+    val deltaMs = deltaMs0.localCheckpoint(true)
     val parts = incrementParts(deltaMs, state, cfg)
     val memberEdges = parts.memberEdges.localCheckpoint(true)
     val newEdges = parts.newEdges.localCheckpoint(true)

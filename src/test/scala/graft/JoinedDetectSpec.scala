@@ -102,6 +102,31 @@ class JoinedDetectSpec extends SparkSpec {
     assert(f1.f1 >= 0.99, s"joined-flagship F1 ${f1.f1}")
   }
 
+  test("runJoinedIncremental (no driver Map) ≡ broadcast increment ≡ from-scratch") {
+    // incremental maintenance at the 100-TB dimension-table configuration:
+    // an increment detected through the dictionary/vector joins must land
+    // exactly where the broadcast increment and the from-scratch run do
+    import org.apache.spark.sql.functions.col
+    val dictBc = spark.sparkContext.broadcast(dict)
+    val vecsBc = spark.sparkContext.broadcast(vecs)
+    val convs = turns.select("conv_id").distinct().as[String].collect().sorted.toSeq
+    val (baseC, newC) = convs.splitAt((convs.length * 0.6).toInt)
+    def slice(cs: Seq[String]) = turns.where(col("conv_id").isInCollection(cs)).as[Turn]
+    val state = graft.Pipeline.bootstrapState(
+      graft.Pipeline.allMentions(slice(baseC), dictBc, vecsBc))
+    val dictDf = dict.values.toSeq.toDS().repartition(4)
+    val vecDf = vecs.toSeq.toDF("entity", "vec").repartition(3)
+    def assignments(df: org.apache.spark.sql.DataFrame) =
+      df.select("mention_id", "cluster_id").as[(String, String)].collect().toSet
+    val viaJoin = assignments(
+      graft.Pipeline.runJoinedIncremental(slice(newC), dictDf, vecDf, state).clusters)
+    val viaBroadcast = assignments(
+      graft.Pipeline.runIncremental(slice(newC), dict, vecs, state).clusters)
+    val fromScratch = assignments(graft.Pipeline.run(turns, dict, vecs))
+    assert(viaJoin == viaBroadcast)
+    assert(viaJoin == fromScratch)
+  }
+
   test("runJoinedCheckpointed ≡ runJoined; same-fingerprint rerun RESUMES from stage tables") {
     val dictDf = dict.values.toSeq.toDS().repartition(4)
     val vecDf = vecs.toSeq.toDF("entity", "vec").repartition(3)
