@@ -56,6 +56,35 @@ object Demo {
     val f1 = Pipeline.pairwiseF1(clusters, gold, dict)
     println(f"pairwise: tp=${f1.tp} fp=${f1.fp} fn=${f1.fn} " +
             f"P=${f1.precision}%.4f R=${f1.recall}%.4f F1=${f1.f1}%.4f")
+
+    // incremental-maintenance lifecycle: bootstrap the IncrementState
+    // base tables from the first 70% of conversations, apply the rest as
+    // one O(delta) ingestion cycle, verify it reproduces the from-scratch
+    // clustering exactly (what a deployment runs every cycle instead of
+    // re-clustering the corpus)
+    {
+      import spark.implicits._
+      import org.apache.spark.sql.functions.col
+      val convs = turns.select("conv_id").distinct()
+        .as[String].collect().sorted.toSeq
+      val (baseC, deltaC) = convs.splitAt((convs.length * 0.7).toInt)
+      def slice(cs: Seq[String]) =
+        turns.where(col("conv_id").isInCollection(cs)).as[graft.model.Turn]
+      val sc = spark.sparkContext
+      val state = Pipeline.bootstrapState(
+        Pipeline.allMentions(slice(baseC), sc.broadcast(dict), sc.broadcast(vecs),
+                             Pipeline.Config(score = score)),
+        Pipeline.Config(score = score))
+      val inc = Pipeline.runIncremental(slice(deltaC), dict, vecs, state,
+                                        Pipeline.Config(score = score))
+      val incAssign = inc.clusters.select("mention_id", "cluster_id")
+        .as[(String, String)].collect().toMap
+      val fullAssign = clusters.select("mention_id", "cluster_id")
+        .as[(String, String)].collect().toMap
+      println(s"increment: delta_mentions=${inc.deltaMentions.count()} " +
+              s"upserts=${inc.clusterUpserts.count()} " +
+              s"equals_from_scratch=${incAssign == fullAssign}")
+    }
     spark.stop()
   }
 }
