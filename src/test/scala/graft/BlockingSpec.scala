@@ -82,8 +82,15 @@ class BlockingSpec extends SparkSpec {
     // fixture spans every regime: cold keys, a triangle-salted hot key,
     // and a star-regime giant key; random delta subsets of varying share
     for (seed <- Seq(1, 7, 13); deltaShare <- Seq(0.05, 0.3)) {
+      // base fixture + a star-regime giant key + purge bait: the giant
+      // block's member set duplicated under two more key names (like
+      // nm: + LSH bands sharing members) — the purge must collapse them
+      // identically in the delta and the full generators
+      val giantRows = (0 until 120).map(i => ("giant", f"g$i%05d"))
+      val dupKeys = Seq("giant_dup1", "giant_dup2")
+        .flatMap(k => giantRows.map { case (_, m) => (k, m) })
       val keyed = keyedFixture(seed, 500, 25, 0.35)
-        .unionByName((0 until 120).map(i => ("giant", f"g$i%05d")).toDF("block_key", "mid"))
+        .unionByName((giantRows ++ dupKeys).toDF("block_key", "mid"))
         .cache()
       val rng = new scala.util.Random(seed * 31)
       val allIds = keyed.select("mid").distinct().as[String].collect().sorted

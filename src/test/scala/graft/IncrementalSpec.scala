@@ -77,6 +77,20 @@ class IncrementalSpec extends SparkSpec {
     assert(f1.f1 >= 0.99)
   }
 
+  test("increment == from-scratch under forced triangle/star pair regimes") {
+    // tiny tau/starThreshold route real blocks through the salted and
+    // star paths, so candidatePairsDelta's hot/star branches run inside
+    // the actual pipeline (the Blocking property test covers them on
+    // synthetic keys; this covers them in situ)
+    val starCfg = Pipeline.Config(tau = 4, starThreshold = 8, starK = 3)
+    val fullStar = Pipeline.run(turns, dict, vecs, starCfg)
+    val (oldConvs, newConvs) = convs.splitAt((convs.length * 0.6).toInt)
+    val state = Pipeline.bootstrapState(
+      Pipeline.allMentions(convSlice(oldConvs), dictBc, vecsBc, starCfg), starCfg)
+    val inc = Pipeline.runIncremental(convSlice(newConvs), dict, vecs, state, starCfg)
+    assert(assign(inc.clusters) == assign(fullStar))
+  }
+
   test("backfill (delta ids sort BEFORE base): same partition, labels may differ") {
     // runIncremental documents the delta-after-base id assumption for
     // LABEL equality; backfilling older conversations must still produce
