@@ -637,6 +637,23 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), sum("n_chars").as("chars"))
         .orderBy("lang")
     }),
+
+    // JSONL INGESTION round-trip: the transcript table written as JSONL
+    // (the format transcripts actually arrive in), re-ingested through
+    // TranscriptSource (explicit schema, text+from_json, quarantine
+    // split), and emitted in stable turn order — must equal the parquet
+    // transcripts byte-for-byte vs the DuckDB oracle. Corrupt-line
+    // quarantine semantics are gated in TranscriptSourceSpec.
+    "q49_jsonl_ingest" -> ((s, dir) => {
+      val jsonlDir = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_q49_jsonl_${s.sparkContext.applicationId}").getAbsolutePath
+      QueryLib.turnsDs(s, dir).write.mode("overwrite").json(jsonlDir)
+      sources.TranscriptSource.turns(
+          sources.TranscriptSource.readJsonl(s, jsonlDir))
+        .select(col("conv_id"), col("turn_idx").cast("bigint"),
+                col("role"), col("text"))
+        .orderBy("conv_id", "turn_idx")
+    }),
   )
 
   /** Doc-similarity edges: same conversation (source), turn distance ≤ 3,
@@ -1209,5 +1226,13 @@ object SparkEntry {
         |  FROM documents)
         |WHERE cell < CASE lang WHEN 'en' THEN '80' WHEN 'zh' THEN '40' ELSE 'g' END
         |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // identical rows to the parquet-derived transcript table — the
+    // operator under test is JSONL ingestion fidelity, not new transform
+    // semantics
+    "q49_jsonl_ingest" ->
+      s"""WITH ${QueryLib.transcriptsSql}
+         |SELECT conv_id, turn_idx, role, text
+         |FROM tr ORDER BY conv_id, turn_idx""".stripMargin,
   )
 }
