@@ -43,15 +43,32 @@ object TranscriptSource {
     StructField("ts", TimestampType),
     StructField(CorruptCol, StringType)))
 
-  /** Every input line as (raw_line, parsed struct) — parsed carries the
-    * data fields plus the corrupt marker for malformed lines. */
-  def readJsonl(spark: SparkSession, path: String): DataFrame =
-    spark.read.text(path)
+  /** Shared parse shape over a one-column `value` frame (batch text
+    * source and streaming file source plan identically through it). */
+  private def parsed(lines: DataFrame): DataFrame =
+    lines
       .where(length(trim(col("value"))) > 0) // JSONL: blank lines are not records
       .select(col("value").as("raw_line"),
               from_json(col("value"), schema,
                 Map("mode" -> "PERMISSIVE",
                     "columnNameOfCorruptRecord" -> CorruptCol)).as("t"))
+
+  /** Every input line as (raw_line, parsed struct) — parsed carries the
+    * data fields plus the corrupt marker for malformed lines. */
+  def readJsonl(spark: SparkSession, path: String): DataFrame =
+    parsed(spark.read.text(path))
+
+  /** Streaming twin: watch `path` for arriving JSONL files (the
+    * ingestion-directory deployment shape — new transcript dumps appear,
+    * each micro-batch is whatever files landed since the last trigger).
+    * Same parse, same [[turns]]/[[quarantine]] split; compose with
+    * [[graft.streaming.StreamingMaintain]] for continuously-maintained
+    * clusters, with the caveat that a conversation's turns should arrive
+    * within one file batch (the conversation-complete increment
+    * contract). `maxFilesPerTrigger` etc. pass through `options`. */
+  def readJsonlStream(spark: SparkSession, path: String,
+                      options: Map[String, String] = Map.empty): DataFrame =
+    parsed(spark.readStream.options(options).text(path))
 
   /** Clean typed turns: rows whose line parsed completely. */
   def turns(raw: DataFrame): Dataset[Turn] = {

@@ -49,6 +49,38 @@ class StreamingMaintainSpec extends SparkSpec {
     assert(assign(maintain.state.clusters) == assign(full))
   }
 
+  test("JSONL ingestion directory -> streaming maintenance == from-scratch") {
+    // the full deployment shape: transcript dumps land as JSONL files in
+    // a watched directory; each micro-batch of files is applied as one
+    // increment over the evolving state
+    val dir = java.nio.file.Files.createTempDirectory("graft-jsonl-stream").toString
+    val (baseC, rest) = convs.splitAt(convs.length / 2)
+    val (b1, b2) = rest.splitAt(rest.length / 2)
+    val state0 = Pipeline.bootstrapState(
+      Pipeline.allMentions(
+        turns.where(col("conv_id").isInCollection(baseC)).as[Turn], dictBc, vecsBc))
+    val maintain = new StreamingMaintain(dict, vecs, state0)
+    val stream = graft.sources.TranscriptSource.readJsonlStream(spark, dir)
+    val q = maintain.start(graft.sources.TranscriptSource.turns(stream))
+    try {
+      for ((batch, i) <- Seq(b1, b2).zipWithIndex) {
+        // real ingestion shape: write to a staging dir, then atomically
+        // move the finished files into the watched directory
+        val staging = java.nio.file.Files.createTempDirectory(s"graft-stage$i")
+        turns.where(col("conv_id").isInCollection(batch)).as[Turn]
+          .write.mode("overwrite").json(staging.toString)
+        val parts = new java.io.File(staging.toString).listFiles()
+          .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".json"))
+        parts.zipWithIndex.foreach { case (f, j) =>
+          java.nio.file.Files.move(f.toPath,
+            java.nio.file.Paths.get(dir, s"batch$i-$j.json"))
+        }
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    assert(assign(maintain.state.clusters) == assign(full))
+  }
+
   test("maintaining from NOTHING (empty bootstrap) converges to from-scratch") {
     val empty = Pipeline.bootstrapState(spark.emptyDataset[graft.model.Mention])
     val maintain = new StreamingMaintain(dict, vecs, empty)
