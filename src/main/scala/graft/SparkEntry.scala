@@ -437,12 +437,15 @@ object SparkEntry {
     // Random-hyperplane LSH ANN against a MATERIALIZED on-disk index
     // ((band, bucket-prefix)-partitioned parquet + meta sidecar): the
     // corpus bucketing pass is paid once at build; each query batch
-    // reads only the partitions its probes land in. Hyperplane sign
-    // buckets are not SQL-expressible, so this entry has NO oracleSql —
-    // the driver records its rows-only check; exact in-memory
-    // equivalence and physical pruning are gated in AnnSpec. rows=8
-    // (256 buckets/band) keeps buckets dense at sf-test corpus sizes so
-    // the result set is non-empty.
+    // reads only the partitions its probes land in. The hyperplane
+    // family is md5-derived 20-bit INTEGER components against 20-bit
+    // fixed-point embeddings (MinHash.hyperplane/quantize20), so the
+    // sign buckets are exact int64 arithmetic the DuckDB oracle
+    // recomputes bit-for-bit — the q21/q33 md5-kernel move applied to
+    // sign-LSH. Exact in-memory equivalence and physical pruning are
+    // additionally gated in AnnSpec. rows=8 (256 buckets/band) keeps
+    // buckets dense at sf-test corpus sizes so the result set is
+    // non-empty.
     "q37_ann_lsh_indexed" -> ((s, dir) => {
       val corpus = embeddings(s, dir)
         .select(col("vec_id").as("id"), col("embedding").as("vec"))
@@ -1123,6 +1126,50 @@ object SparkEntry {
          |       min(printf('%s:%06d:%06d', conv_id, turn_idx, bpos)) OVER (PARTITION BY bg) AS cluster_id,
          |       bg
          |FROM allm ORDER BY mention_id""".stripMargin,
+
+    // Full SQL re-derivation of the persisted sign-LSH index path: the
+    // integer hyperplane dot (md5-derived 20-bit components × 20-bit
+    // fixed-point embedding, exact int64 — see Ann.bandSignature), the
+    // per-band sign-bucket signature, the Hamming-1 multi-probe set,
+    // the bucket equi-join candidate filter, and the cosine top-5
+    // rerank with (cos DESC, id ASC) ties — bit-identical to
+    // Ann.lshTopKIndexed by construction
+    "q37_ann_lsh_indexed" ->
+      """WITH hp AS (
+        |  SELECT b.band, r.r, i.i,
+        |    CAST(('0x' || substr(md5('hp' || b.band || '_' || r.r || '_' || i.i), 1, 5)) AS BIGINT) - 524288 AS h
+        |  FROM range(8) b(band), range(8) r(r), range(64) i(i)),
+        |ev AS (
+        |  SELECT vec_id AS id, i.i,
+        |    CAST(floor(CAST(embedding[CAST(i.i AS INT) + 1] AS DOUBLE) * 1048576) AS BIGINT) AS e
+        |  FROM embeddings, range(64) i(i)),
+        |dots AS (
+        |  SELECT ev.id, hp.band, hp.r, sum(hp.h * ev.e) AS dot
+        |  FROM ev JOIN hp ON ev.i = hp.i
+        |  GROUP BY 1, 2, 3),
+        |sig AS (
+        |  SELECT id, band,
+        |    CAST(sum(CASE WHEN dot > 0 THEN CAST(1 AS BIGINT) << CAST(r AS INT) ELSE 0 END) AS BIGINT) AS bucket
+        |  FROM dots GROUP BY 1, 2),
+        |probes AS (
+        |  SELECT id AS q_id, band, bucket FROM sig WHERE id < 10
+        |  UNION
+        |  SELECT s.id, s.band, xor(s.bucket, CAST(1 AS BIGINT) << CAST(r.r AS INT))
+        |  FROM sig s, range(8) r(r) WHERE s.id < 10),
+        |cand AS (
+        |  SELECT DISTINCT p.q_id, s.id
+        |  FROM probes p JOIN sig s ON p.band = s.band AND p.bucket = s.bucket
+        |  WHERE s.id <> p.q_id),
+        |scored AS (
+        |  SELECT c.q_id, c.id,
+        |    round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(e2.embedding AS DOUBLE[])), 5) AS cos
+        |  FROM cand c JOIN embeddings e2 ON e2.vec_id = c.id
+        |              JOIN embeddings q ON q.vec_id = c.q_id)
+        |SELECT q_id, rank, id, cos FROM (
+        |  SELECT q_id, id, cos,
+        |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, id) AS BIGINT) AS rank
+        |  FROM scored)
+        |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
 
     // DuckDB's NATIVE ASOF JOIN — an independent implementation of the
     // same nearest-prior semantics as AsOfJoin.lastPrior's union+window

@@ -159,6 +159,44 @@ object MinHash {
     }.toSeq
   }
 
+  /** First 5 hex chars of MD5(UTF-8 bytes) as an Int in [0, 2^20) — the
+    * 20-bit sibling of [[md5Long]], same DuckDB-reproducibility argument:
+    * `('0x' || substr(md5(s),1,5))::BIGINT` computes the identical value. */
+  def md5Int20(s: String): Int = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // first 5 hex chars = byte0, byte1, high nibble of byte2
+    ((d(0) & 0xff) << 12) | ((d(1) & 0xff) << 4) | ((d(2) & 0xf0) >>> 4)
+  }
+
+  /** Random-hyperplane component for LSH sign signatures: a signed 20-bit
+    * integer in [-2^19, 2^19) derived from md5 of the (band, row, dim-index)
+    * key. INTEGER, not float, so the sign of the hyperplane dot product is
+    * exact int64 arithmetic — order-independent and bit-identical in any
+    * engine (the q37 DuckDB oracle recomputes it verbatim), with none of
+    * the float-accumulation-order sign-flip hazard a near-zero double dot
+    * would have. Quantizing a uniform [-1,1) direction to 2^20 steps
+    * perturbs each component by <1e-6 relative — immaterial to LSH recall
+    * (gated unchanged in AnnSpec). */
+  def hyperplaneComponent(band: Int, row: Int, i: Int): Long =
+    (md5Int20(s"hp${band}_${row}_$i") - 524288).toLong
+
+  // Hyperplanes are fixed per (band, row, dim) — cache the materialized
+  // arrays so bandSignature costs dim multiply-adds, not dim md5 calls,
+  // per (vector, band, row).
+  private val hpCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int, Int), Array[Long]]()
+
+  def hyperplane(band: Int, row: Int, dim: Int): Array[Long] =
+    hpCache.computeIfAbsent((band, row, dim),
+      _ => Array.tabulate(dim)(i => hyperplaneComponent(band, row, i)))
+
+  /** 20-bit fixed-point quantization of an embedding component:
+    * floor(x · 2^20). Float→double widening and the power-of-two scale are
+    * exact, floor is exact — DuckDB's
+    * `CAST(floor(CAST(x AS DOUBLE) * 1048576) AS BIGINT)` is bit-identical. */
+  def quantize20(x: Float): Long = math.floor(x.toDouble * 1048576.0).toLong
+
   /** Deterministic unit-ish hash embedding of a token: `dim` values in
     * [-1, 1] derived from splitmix64 of the token hash. Used as the
     * context-embedding source where no trained embeddings exist (the

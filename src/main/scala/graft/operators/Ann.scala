@@ -55,17 +55,26 @@ object Ann {
   }
 
   /** Deterministic random-hyperplane sign signature of one band: `rows`
-    * sign bits from seeded hyperplanes (band, row) — each band has its own
-    * hyperplane family so band signatures are independent. */
+    * sign bits from md5-seeded hyperplanes (band, row) — each band has its
+    * own hyperplane family so band signatures are independent.
+    *
+    * The dot product is EXACT int64 arithmetic over 20-bit fixed-point
+    * quantizations of both sides (MinHash.hyperplane /
+    * MinHash.quantize20): no float accumulation order to disagree on, so
+    * the signature is bit-reproducible in any engine — the q37 DuckDB
+    * oracle recomputes it in SQL, which a float hyperplane family could
+    * never guarantee (a near-zero double dot flips sign under a different
+    * summation order). Max |term| < 2^19·2^21 = 2^40; dims ≤ 2^20 fit
+    * int64 with room. */
   def bandSignature(vec: Array[Float], band: Int, rows: Int): Long = {
     val dim = vec.length
     var bits = 0L
     var r = 0
     while (r < rows) {
-      val hp = graft.functions.MinHash.hashEmbeddingCached(s"hp${band}_$r", dim)
-      var dot = 0.0
+      val hp = graft.functions.MinHash.hyperplane(band, r, dim)
+      var dot = 0L
       var i = 0
-      while (i < dim) { dot += vec(i) * hp(i); i += 1 }
+      while (i < dim) { dot += graft.functions.MinHash.quantize20(vec(i)) * hp(i); i += 1 }
       if (dot > 0) bits |= (1L << r)
       r += 1
     }
