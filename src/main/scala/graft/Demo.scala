@@ -39,7 +39,8 @@ object Demo {
       val fit = graft.operators.Calibrate.fitAndSave(
         graft.operators.Calibrate.labeledFeaturesFromGold(ms, gold), artifact)
       println(f"calibrated: ${fit.pairs} labeled pairs (${fit.positives} pos) " +
-              f"pair-F1=${fit.f1}%.4f threshold=${fit.cfg.threshold}%.4f")
+              f"pair-F1=${fit.f1}%.4f holdout-F1=${fit.holdoutF1}%.4f " +
+              f"threshold=${fit.cfg.threshold}%.4f")
       ms.unpersist(); ()
     }
     val score = graft.operators.Scoring.loadConfig(artifact)
@@ -64,18 +65,22 @@ object Demo {
     // re-clustering the corpus)
     {
       import spark.implicits._
-      import org.apache.spark.sql.functions.col
-      val convs = turns.select("conv_id").distinct()
-        .as[String].collect().sorted.toSeq
-      val (baseC, deltaC) = convs.splitAt((convs.length * 0.7).toInt)
-      def slice(cs: Seq[String]) =
-        turns.where(col("conv_id").isInCollection(cs)).as[graft.model.Turn]
+      import org.apache.spark.sql.functions.{col, lit}
+      // conversation-complete split as a pure function of conv_id — no
+      // driver-side collect of the conversation universe. ORDERED, not
+      // hashed: runIncremental assumes delta mention ids sort after
+      // their group's base ids (Pipeline Scaladoc); TranscriptGen conv
+      // ids are fixed-width c%08d so a lexicographic threshold is the
+      // numeric 70% point.
+      val isBase = col("conv_id") < lit(f"c${(nConvs * 0.7).toInt}%08d")
       val sc = spark.sparkContext
       val state = Pipeline.bootstrapState(
-        Pipeline.allMentions(slice(baseC), sc.broadcast(dict), sc.broadcast(vecs),
+        Pipeline.allMentions(turns.where(isBase).as[graft.model.Turn],
+                             sc.broadcast(dict), sc.broadcast(vecs),
                              Pipeline.Config(score = score)),
         Pipeline.Config(score = score))
-      val inc = Pipeline.runIncremental(slice(deltaC), dict, vecs, state,
+      val inc = Pipeline.runIncremental(turns.where(!isBase).as[graft.model.Turn],
+                                        dict, vecs, state,
                                         Pipeline.Config(score = score))
       val incAssign = inc.clusters.select("mention_id", "cluster_id")
         .as[(String, String)].collect().toMap

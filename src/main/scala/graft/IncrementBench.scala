@@ -96,12 +96,17 @@ object IncrementBench {
     val nFull = if (skipFull) -1L else Pipeline.run(turns, dict, vecs).count()
     val fullS = if (skipFull) -1.0 else (System.nanoTime() - t2) / 1e9
 
+    // ratios are only meaningful when BOTH legs were actually timed —
+    // in profile mode incS is the -1.0 sentinel and an unguarded divide
+    // would emit negative garbage into the bench-evidence jsonl
+    val speedup = if (skipFull || profile || incS <= 0) 0.0 else fullS / incS
+    val deltaThr = if (profile || incS <= 0) 0.0 else nDelta / incS
     val json =
       s"""{"metric":"increment_bench","convs":$nConvs,"turns":$nTurns,""" +
       s""""delta_frac":$deltaFrac,"delta_turns":$nDelta,""" +
       s""""base_s":$baseS,"inc_s":$incS,"full_s":$fullS,""" +
-      s""""speedup_vs_full":${if (skipFull) 0.0 else fullS / incS},""" +
-      s""""delta_turns_per_sec":${nDelta / incS},""" +
+      s""""speedup_vs_full":$speedup,""" +
+      s""""delta_turns_per_sec":$deltaThr,""" +
       s""""upsert_rows":$nUpserts,"inc_rows":$nClusters,"full_rows":$nFull,""" +
       s""""ncpu":$cpus}"""
     println(json)

@@ -392,8 +392,13 @@ object Pipeline {
     * IncrementalSpec across conversation-disjoint splits and chained
     * increments. Increments must be conversation-complete: coref
     * inheritance reaches only within the increment's own turns, so route
-    * a conversation's late turns into the same increment (or re-feed the
-    * conversation whole). Delta mention ids are assumed to sort after
+    * a conversation's late turns into the same increment. Re-feeding a
+    * conversation whole is safe ONLY if it was never previously ingested
+    * — state tables are append-only on mention_id, so re-feeding
+    * already-ingested turns would insert duplicate mention rows
+    * (round-4 ADVICE); late turns for an already-ingested conversation
+    * need a compaction pass (rebuild that conversation's slice of the
+    * base tables), not a re-feed. Delta mention ids are assumed to sort after
     * the base ids of their supernode group (true for time-ordered
     * ingestion of (conv_id, turn_idx)-keyed ids), keeping sticky base
     * reps identical to a from-scratch group-min. */

@@ -542,8 +542,13 @@ object SparkEntry {
     // TableIOSpec). The oracle checks values with a plain join — the
     // operator under test is the physical layout, not new join semantics.
     "q43_bucketed_join" -> ((s, dir) => {
+      // catalog table NAMES carry the applicationId too (sanitized for
+      // identifier rules): two concurrent sessions sharing a metastore
+      // would otherwise race on DROP TABLE/saveAsTable even with
+      // per-session paths (round-4 ADVICE)
+      val appTag = s.sparkContext.applicationId.replaceAll("[^A-Za-z0-9_]", "_")
       val base = new java.io.File(sys.props("java.io.tmpdir"),
-        s"graft_q43_buckets_${s.sparkContext.applicationId}").getAbsolutePath
+        s"graft_q43_buckets_$appTag").getAbsolutePath
       val ev = events(s, dir)
       val facts = ev.select(col("event_id"), col("user_id"))
       val dim = ev.where(col("event_type") === "purchase")
@@ -552,9 +557,9 @@ object SparkEntry {
              round(sum(col("value").cast("decimal(18,6)")).cast("double"), 4)
                .as("purchase_value"))
       val tf = sources.TableIO.writeBucketed(
-        facts, "graft_q43_facts", s"$base/facts", Seq("user_id"), 8)
+        facts, s"graft_q43_facts_$appTag", s"$base/facts", Seq("user_id"), 8)
       val td = sources.TableIO.writeBucketed(
-        dim, "graft_q43_dim", s"$base/dim", Seq("user_id"), 8)
+        dim, s"graft_q43_dim_$appTag", s"$base/dim", Seq("user_id"), 8)
       tf.join(td, Seq("user_id"))
         .select(col("event_id"), col("user_id"), col("n_purchase"), col("purchase_value"))
         .orderBy("event_id")
@@ -612,16 +617,22 @@ object SparkEntry {
     "q48_er_clusters_incremental" -> ((s, dir) => {
       import s.implicits._
       val turns = QueryLib.turnsDs(s, dir)
-      val convs = turns.select(col("conv_id")).distinct()
-        .as[String].collect().sorted.toSeq
-      val (oldC, newC) = convs.splitAt(convs.length / 2)
+      // conversation-complete split as a PURE FUNCTION of conv_id — no
+      // driver-side collect of the conversation universe. The split must
+      // be ORDERED, not hashed: runIncremental's ingestion-order
+      // invariant assumes delta mention ids sort AFTER their supernode
+      // group's base ids (Pipeline Scaladoc), which a lexicographic
+      // threshold guarantees and an md5 sample would violate (delta
+      // convs would interleave below base reps). conv ids here are
+      // src0..src19; '< src2' puts {src0, src1, src10..src19} in the
+      // base batch at every sf.
+      val isBase = col("conv_id") < lit("src2")
       val dictBc = s.sparkContext.broadcast(QueryLib.bigramDict)
       val vecsBc = s.sparkContext.broadcast(Map.empty[String, Array[Float]])
       val state = Pipeline.bootstrapState(Pipeline.allMentions(
-        turns.where(col("conv_id").isInCollection(oldC)).as[Turn],
-        dictBc, vecsBc))
+        turns.where(isBase).as[Turn], dictBc, vecsBc))
       val inc = Pipeline.runIncremental(
-        turns.where(col("conv_id").isInCollection(newC)).as[Turn],
+        turns.where(!isBase).as[Turn],
         QueryLib.bigramDict, Map.empty, state)
       inc.clusters
         .select(col("mention_id"), col("cluster_id"), col("norm").as("bg"))
@@ -656,6 +667,78 @@ object SparkEntry {
         .select(col("conv_id"), col("turn_idx").cast("bigint"),
                 col("role"), col("text"))
         .orderBy("conv_id", "turn_idx")
+    }),
+
+    // EVAL-SET DECONTAMINATION: corpus docs sharing any 4-token n-gram
+    // with the benchmark split (doc_id % 20 == 0 plays the eval set).
+    // Benchmark grams explode+distinct on the SMALL side and broadcast;
+    // the corpus gram stream is map-only and never crosses an exchange
+    // unless contaminated (Decontaminate Scaladoc). Exact positional
+    // n-gram oracle.
+    "q50_decontaminate" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val bench = d.where(col("doc_id") % 20 === 0)
+      val corpus = d.where(col("doc_id") % 20 =!= 0)
+      operators.Decontaminate.flagged(corpus, bench, "doc_id", "text", n = 4)
+        .select(col("id").as("doc_id"), col("n_hit_grams"), col("first_gram"))
+        .orderBy("doc_id")
+    }),
+
+    // PII REDACTION with lineage counts: deterministic synthetic PII
+    // (emails/phones/SSNs/IPs derived from doc_id — the sandbox corpus
+    // contains none) planted into the text, then the Redact chain:
+    // per-class match counts + the scrubbed text, all map-only codegen
+    // column math. Oracle recomputes the identical plant + regex chain
+    // in DuckDB (regexp_replace 'g'); redacted text compared via md5.
+    "q51_pii_redact" -> ((s, dir) => {
+      val planted = docs(s, dir).withColumn("ptext", concat(
+        col("text"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit(" contact user"), col("doc_id").cast("string"),
+                 lit("@example.com"))).otherwise(lit("")),
+        when(col("doc_id") % 5 === 0,
+          concat(lit(" call 415-555-"),
+                 lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 7 === 0,
+          concat(lit(" ssn 123-45-"),
+                 lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 11 === 0,
+          concat(lit(" host 10.0."), (col("doc_id") % 256).cast("string"),
+                 lit(".1"))).otherwise(lit(""))))
+      operators.Redact.withRedaction(planted, "ptext")
+        .select(col("doc_id"), col("n_email"), col("n_phone"), col("n_ssn"),
+                col("n_ipv4"), md5(col("redacted")).as("redacted_sig"))
+        .orderBy("doc_id")
+    }),
+
+    // CUBE: all four grouping sets of a 2-key aggregate in one pass —
+    // rollup's (q39) sibling, completing the grouping-sets family.
+    "q52_cube" -> ((s, dir) =>
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(sum(col("l_quantity").cast("decimal(18,4)")).cast("double").as("sum_qty"),
+             count(lit(1)).as("n"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+                coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+                round(col("sum_qty"), 4).as("sum_qty"), col("n"))
+        .orderBy("rf", "ls")),
+
+    // INTERSECT / EXCEPT: typed set ops over user-id sets (clickers who
+    // did / did not buy) — Spark intersect()/except() vs native SQL
+    // INTERSECT/EXCEPT in the oracle.
+    "q53_set_ops" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val clickers = ev.where(col("event_type") === "click")
+        .select("user_id").distinct()
+      val buyers = ev.where(col("event_type") === "purchase")
+        .select("user_id").distinct()
+      clickers.intersect(buyers).withColumn("set_op", lit("click_and_buy"))
+        .unionByName(
+          clickers.except(buyers).withColumn("set_op", lit("click_no_buy")))
+        .select("set_op", "user_id")
+        .orderBy("set_op", "user_id")
     }),
   )
 
@@ -1281,5 +1364,70 @@ object SparkEntry {
       s"""WITH ${QueryLib.transcriptsSql}
          |SELECT conv_id, turn_idx, role, text
          |FROM tr ORDER BY conv_id, turn_idx""".stripMargin,
+
+    // exact positional-n-gram re-derivation of the decontamination flag:
+    // 4-token grams of lowercased [a-z0-9]+ tokens, benchmark = doc_id %
+    // 20 == 0, a corpus doc is flagged iff it shares >=1 gram
+    "q50_decontaminate" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id,
+        |         unnest([array_to_string(t[i:i+3], ' ')
+        |                 FOR i IN generate_series(1, len(t) - 3)]) AS g
+        |  FROM toks WHERE len(t) >= 4),
+        |bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 20 = 0),
+        |hits AS (
+        |  SELECT DISTINCT c.doc_id, c.g
+        |  FROM grams c JOIN bench b USING (g)
+        |  WHERE c.doc_id % 20 <> 0)
+        |SELECT doc_id, count(*) AS n_hit_grams, min(g) AS first_gram
+        |FROM hits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // identical plant + identical regex chain, counts taken on the text
+    // as each class sees it (after the previous classes' replacements)
+    "q51_pii_redact" ->
+      """WITH p AS (
+        |  SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 3 = 0 THEN ' contact user' || doc_id || '@example.com' ELSE '' END ||
+        |    CASE WHEN doc_id % 5 = 0 THEN ' call 415-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END ||
+        |    CASE WHEN doc_id % 7 = 0 THEN ' ssn 123-45-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END ||
+        |    CASE WHEN doc_id % 11 = 0 THEN ' host 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.1' ELSE '' END AS t0
+        |  FROM documents),
+        |s1 AS (SELECT doc_id,
+        |  CAST(len(regexp_extract_all(t0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+        |  regexp_replace(t0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1 FROM p),
+        |s2 AS (SELECT doc_id, n_email,
+        |  CAST(len(regexp_extract_all(t1, '\b\d{3}[-.]\d{3}[-.]\d{4}\b')) AS BIGINT) AS n_phone,
+        |  regexp_replace(t1, '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g') AS t2 FROM s1),
+        |s3 AS (SELECT doc_id, n_email, n_phone,
+        |  CAST(len(regexp_extract_all(t2, '\b\d{3}-\d{2}-\d{4}\b')) AS BIGINT) AS n_ssn,
+        |  regexp_replace(t2, '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g') AS t3 FROM s2),
+        |s4 AS (SELECT doc_id, n_email, n_phone, n_ssn,
+        |  CAST(len(regexp_extract_all(t3, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ipv4,
+        |  regexp_replace(t3, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS t4 FROM s3)
+        |SELECT doc_id, n_email, n_phone, n_ssn, n_ipv4, md5(t4) AS redacted_sig
+        |FROM s4 ORDER BY doc_id""".stripMargin,
+
+    "q52_cube" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+        |       coalesce(l_linestatus, 'ALL') AS ls,
+        |       round(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_qty,
+        |       count(*) AS n
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY rf, ls""".stripMargin,
+
+    "q53_set_ops" ->
+      """SELECT 'click_and_buy' AS set_op, user_id FROM (
+        |  SELECT user_id FROM events WHERE event_type = 'click'
+        |  INTERSECT
+        |  SELECT user_id FROM events WHERE event_type = 'purchase')
+        |UNION ALL
+        |SELECT 'click_no_buy' AS set_op, user_id FROM (
+        |  SELECT user_id FROM events WHERE event_type = 'click'
+        |  EXCEPT
+        |  SELECT user_id FROM events WHERE event_type = 'purchase')
+        |ORDER BY set_op, user_id""".stripMargin,
   )
 }

@@ -74,10 +74,34 @@ object Calibrate {
                      format_string("%06d", col("begin"))).as("mention_id"),
               col("entity")), cfg)
 
+  /** @param f1        pair F1 on the FIT split (the selection score —
+    *                   optimistically biased by construction)
+    * @param holdoutF1 pair F1 on the held-out split the search never saw
+    *                   (the honest generalization number; NaN only if the
+    *                   labeled set was too small to hold anything out) */
   case class FitResult(cfg: Scoring.ScoreConfig, f1: Double,
-                       pairs: Long, positives: Long)
+                       pairs: Long, positives: Long,
+                       holdoutF1: Double)
 
   private val FeatCols = Seq("f_jw", "f_lev", "f_cos", "f_prior", "f_agree")
+
+  /** Pair F1 of (weights, threshold) on a labeled feature frame, one
+    * aggregation pass. NaN on an empty frame. */
+  def pairF1(labeled: DataFrame, w: Seq[Double], thr: Double): Double = {
+    val score = FeatCols.zipWithIndex.map { case (f, i) => lit(w(i)) * col(f) }
+      .reduce(_ + _)
+    val pred = score >= thr
+    val row = labeled.agg(
+      sum(when(pred && col("label") === 1, 1L).otherwise(0L)).as("tp"),
+      sum(when(pred && col("label") === 0, 1L).otherwise(0L)).as("fp"),
+      sum(when(!pred && col("label") === 1, 1L).otherwise(0L)).as("fn"))
+      .head()
+    if (row.isNullAt(0)) Double.NaN
+    else {
+      val (tp, fp, fn) = (row.getLong(0), row.getLong(1), row.getLong(2))
+      if (tp + fp + fn == 0) 1.0 else 2.0 * tp / (2.0 * tp + fp + fn)
+    }
+  }
 
   /** For every weight vector in `grid` (gid → 5 weights), the optimal
     * threshold and the pair F1 it attains, in ONE distributed pass.
@@ -122,12 +146,27 @@ object Calibrate {
     * labeled feature frame, maximizing pair F1. Deterministic: fixed
     * candidate multipliers, fixed coordinate order, ties broken toward
     * the incumbent. `rounds` × 5 coordinate passes, one Spark job each;
-    * the labeled frame is persisted for the duration. */
+    * the labeled frame is persisted for the duration.
+    *
+    * Selection and reporting are SPLIT (round-4 verdict "What's wrong"
+    * #3: fitting and reporting on the same pairs is a textbook overfit
+    * surface): the sweep sees only a deterministic md5-cell fit split
+    * (`1 - holdoutFrac` of the pairs, keyed on the full feature+label row
+    * so exact-duplicate pairs never straddle the split), and the returned
+    * `holdoutF1` is evaluated on the held-out rest, which no selection
+    * step ever read. `holdoutFrac = 0` reproduces the fit-on-all
+    * behavior (holdoutF1 = NaN). */
   def fit(labeled0: DataFrame,
           base: Scoring.ScoreConfig = Scoring.ScoreConfig(),
           rounds: Int = 2,
-          mults: Seq[Double] = Seq(0.0, 0.25, 0.5, 1.0, 1.5, 2.0)): FitResult = {
-    val labeled = labeled0
+          mults: Seq[Double] = Seq(0.0, 0.25, 0.5, 1.0, 1.5, 2.0),
+          holdoutFrac: Double = 0.2): FitResult = {
+    require(holdoutFrac >= 0.0 && holdoutFrac < 1.0, "holdoutFrac in [0,1)")
+    val rowKey = concat_ws("|", (FeatCols :+ "label").map(col): _*)
+    val inFit = Sampling.hashSample(rowKey, 1.0 - holdoutFrac, "calib-holdout")
+    val labeled = labeled0.where(inFit)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val holdout = labeled0.where(!inFit)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val counts = labeled.agg(count(lit(1)), sum("label")).head()
@@ -152,12 +191,14 @@ object Calibrate {
           w = w.updated(coord, cands(gid)); bestThr = thr; bestF1 = f1
         }
       }
+      val hF1 = if (holdoutFrac == 0.0) Double.NaN
+                else pairF1(holdout, w.toSeq, bestThr)
       FitResult(
         base.copy(wJaroWinkler = w(0), wLevRatio = w(1), wCosine = w(2),
                   wPriorOverlap = w(3), wResolvedAgree = w(4),
                   threshold = bestThr),
-        bestF1, nPairs, nPos)
-    } finally { labeled.unpersist(); () }
+        bestF1, nPairs, nPos, hF1)
+    } finally { labeled.unpersist(); holdout.unpersist(); () }
   }
 
   /** train → persist: fit on labeled pairs and write the artifact that

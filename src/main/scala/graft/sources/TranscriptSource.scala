@@ -70,20 +70,32 @@ object TranscriptSource {
                       options: Map[String, String] = Map.empty): DataFrame =
     parsed(spark.readStream.options(options).text(path))
 
-  /** Clean typed turns: rows whose line parsed completely. */
+  // A line is CLEAN iff its parse carries no corrupt marker AND produced
+  // a usable record: the JSON literal `null` parses "successfully" to a
+  // null struct (no corrupt marker!), and a syntactically-valid object
+  // with no conv_id is un-ingestable (every downstream key and lineage
+  // row needs it). Both go to quarantine — keeping the clean/quarantine
+  // split total and exact (round-4 ADVICE: the null-literal line used to
+  // land in turns() as an all-null Turn).
+  private def isClean = col(s"t.$CorruptCol").isNull &&
+    col("t").isNotNull && col("t.conv_id").isNotNull
+
+  /** Clean typed turns: rows whose line parsed completely to a usable
+    * record. */
   def turns(raw: DataFrame): Dataset[Turn] = {
     val spark = raw.sparkSession
     import spark.implicits._
-    raw.where(col(s"t.$CorruptCol").isNull)
+    raw.where(isClean)
       .select(col("t.conv_id"), col("t.turn_idx"), col("t.role"),
               col("t.text"), col("t.tool"), col("t.ts"))
       .as[Turn]
   }
 
-  /** Dead-letter rows: the verbatim line of every malformed record (plus
-    * whatever fields partial parsing could still extract, for triage),
-    * ready for a quarantine table (audited, re-ingestable). */
+  /** Dead-letter rows: the verbatim line of every malformed or unusable
+    * record (plus whatever fields partial parsing could still extract,
+    * for triage), ready for a quarantine table (audited, re-ingestable).
+    * Exact complement of [[turns]] over the input lines. */
   def quarantine(raw: DataFrame): DataFrame =
-    raw.where(col(s"t.$CorruptCol").isNotNull)
+    raw.where(!isClean)
       .select(col("raw_line"), col("t.conv_id").as("parsed_conv_id"))
 }

@@ -40,6 +40,47 @@ class AsOfJoinSpec extends SparkSpec {
     assert(got == expect, s"got=$got expect=$expect")
   }
 
+  test("NULL payload values are carried faithfully, from one right row") {
+    // right row at ts 5 has pay=null but a real r_id: a left row after it
+    // must receive (101, null) — never r_id from one row and pay from
+    // another, never be dropped for the null (round-4 ADVICE)
+    val left = Seq(("a", ts(6), 1L), ("a", ts(4), 2L)).toDF("k", "ts", "l_id")
+    val right = Seq(
+      ("a", ts(3), 100L, Some(1.5)), ("a", ts(5), 101L, None: Option[Double]))
+      .toDF("k", "ts", "r_id", "pay")
+    val got = AsOfJoin.lastPrior(left, right, Seq("k"), "ts", Seq("r_id", "pay"))
+      .select("l_id", "r_id", "pay")
+      .as[(Long, Long, Option[Double])].collect().toSet
+    assert(got == Set((1L, 101L, None), (2L, 100L, Some(1.5))), got)
+  }
+
+  test("sharded hot-key as-of equals the unsharded join on a skewed fixture") {
+    // one hot key with 2000 events + a handful of cold keys; several
+    // bucket widths, incl. one so narrow most buckets need seeding and
+    // one so wide sharding degenerates to the plain join
+    val left = spark.range(2000).select(
+        when(col("id") % 10 === 0, concat(lit("cold"), (col("id") % 7).cast("string"))).otherwise("hot").as("k"),
+        (col("id") * 3 % 5000).cast("timestamp").as("ts"),
+        col("id").as("l_id"))
+    val right = spark.range(300).select(
+        when(col("id") % 9 === 0, concat(lit("cold"), (col("id") % 7).cast("string"))).otherwise("hot").as("k"),
+        (col("id") * 17 % 5000).cast("timestamp").as("ts"),
+        col("id").as("r_id"),
+        (col("id") * 1.5).as("pay"))
+      .groupBy("k", "ts") // dedupe per (key, ts) as the contract requires
+      .agg(min("r_id").as("r_id"), min("pay").as("pay"))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("l_id", "r_id", "pay")
+        .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+    val base = canon(AsOfJoin.lastPrior(left, right, Seq("k"), "ts", Seq("r_id", "pay")))
+    assert(base.nonEmpty)
+    for (w <- Seq(7L, 100L, 1000000L)) {
+      val sharded = canon(AsOfJoin.lastPriorSharded(
+        left, right, Seq("k"), "ts", Seq("r_id", "pay"), bucketSeconds = w))
+      assert(sharded == base, s"bucketSeconds=$w diverged")
+    }
+  }
+
   test("one shuffle: no cartesian/range explosion in the plan") {
     val left = spark.range(100).select(
       (col("id") % 5).cast("string").as("k"),

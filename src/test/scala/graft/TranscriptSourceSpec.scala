@@ -53,6 +53,29 @@ class TranscriptSourceSpec extends SparkSpec {
     assert(clean.count() + dead.length == raw.count())
   }
 
+  test("JSON literal null and conv_id-less objects go to quarantine, not to turns") {
+    // `null` is VALID JSON: from_json returns a null struct with a null
+    // corrupt marker — without the t.isNotNull guard it became an
+    // all-null Turn (round-4 ADVICE). An object missing conv_id is
+    // syntactically fine but un-ingestable.
+    val dir = tmp("jsonl-null")
+    val f = new java.io.File(dir, "part-0.json")
+    val w = new java.io.PrintWriter(f, "UTF-8")
+    w.println("""{"conv_id":"c1","turn_idx":0,"role":"user","text":"ok","tool":null,"ts":"2024-03-03T00:00:00.000Z"}""")
+    w.println("""null""")
+    w.println("""{"turn_idx":1,"role":"user","text":"no conv id"}""")
+    w.close()
+    val raw = TranscriptSource.readJsonl(spark, dir)
+    val clean = TranscriptSource.turns(raw).collect()
+    val dead = TranscriptSource.quarantine(raw)
+      .select("raw_line").as[String].collect()
+    assert(clean.map(_.conv_id).toSeq == Seq("c1"))
+    assert(clean.forall(_.conv_id != null))
+    assert(dead.toSet == Set("null", """{"turn_idx":1,"role":"user","text":"no conv id"}"""))
+    // the split stays total and exact
+    assert(clean.length + dead.length == raw.count())
+  }
+
   test("missing optional fields parse as null instead of dropping the column") {
     val dir = tmp("jsonl-m")
     val f = new java.io.File(dir, "part-0.json")
