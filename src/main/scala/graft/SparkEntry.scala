@@ -740,6 +740,18 @@ object SparkEntry {
         .select("set_op", "user_id")
         .orderBy("set_op", "user_id")
     }),
+
+    // SEQUENCE PACKING (training-batch assembly), length-bucketed
+    // variant: the assignment is a pure function of (id, tok_len) —
+    // engine-reproducible, under-budget by construction, and the md5
+    // sub-sharding bounds every serial row_number scan (Packing
+    // Scaladoc). The tighter order-dependent FFD variant is property-
+    // gated in PackingSpec instead (not SQL-expressible).
+    "q54_seq_pack" -> ((s, dir) =>
+      operators.Packing.packBucketed(docs(s, dir), "doc_id", "text",
+          maxTokens = 128, granularity = 16, shardHexChars = 1)
+        .select(col("id").as("doc_id"), col("tok_len"), col("bin_key"))
+        .orderBy("doc_id")),
   )
 
   /** Doc-similarity edges: same conversation (source), turn distance ≤ 3,
@@ -1429,5 +1441,26 @@ object SparkEntry {
         |  EXCEPT
         |  SELECT user_id FROM events WHERE event_type = 'purchase')
         |ORDER BY set_op, user_id""".stripMargin,
+
+    // exact re-derivation of the bucketed packing: bpe-ish token count,
+    // ceil length band, md5 shard, per-(bucket,shard) id-ordered row
+    // number, capacity floor(128/(bucket*16))
+    "q54_seq_pack" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS tok_len
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, tok_len,
+        |    CAST(ceil(tok_len / 16.0) AS BIGINT) AS bucket,
+        |    substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS shard
+        |  FROM t WHERE tok_len BETWEEN 1 AND 128),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY bucket, shard ORDER BY doc_id) - 1 AS rn,
+        |    CAST(greatest(floor(128.0 / (bucket * 16)), 1) AS BIGINT) AS cap
+        |  FROM b)
+        |SELECT doc_id, tok_len,
+        |  'b' || bucket || ':s' || shard || ':' || CAST(floor(rn / cap) AS BIGINT) AS bin_key
+        |FROM r ORDER BY doc_id""".stripMargin,
   )
 }
