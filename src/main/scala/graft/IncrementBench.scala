@@ -77,13 +77,33 @@ object IncrementBench {
 
     val profile = sys.env.get("GRAFT_INC_PROFILE").contains("1")
 
+    // GRAFT_INC_JOINED=1: time the DISTRIBUTED-dimension increment
+    // (Pipeline.runJoinedIncremental) — dictionary and vectors read from
+    // parquet dimension tables, no driver Map anywhere. This is the
+    // 100-TB maintenance configuration; staging the dims is untimed
+    // (production reads them from Iceberg).
+    val joined = sys.env.get("GRAFT_INC_JOINED").contains("1")
+    val dimsDir = s"$path-dims"
+    if (joined && !new java.io.File(s"$dimsDir/dict/_SUCCESS").exists()) {
+      dict.values.toSeq.sortBy(_.mention).toDS()
+        .write.mode("overwrite").parquet(s"$dimsDir/dict")
+      vecs.toSeq.toDF("entity", "vec")
+        .write.mode("overwrite").parquet(s"$dimsDir/vecs")
+    }
+
     // timed: the increment (before the full run, so warm-up bias favors
     // the from-scratch side). In profile mode the phased run below IS the
     // increment — running both would leave the first run's checkpoint
     // blocks contaminating the second's phase attribution.
     val t1 = System.nanoTime()
     val (nUpserts, incS, nClusters) = if (profile) (-1L, -1.0, -1L) else {
-      val inc = Pipeline.runIncremental(deltaTurns, dict, vecs, state)
+      val inc =
+        if (joined)
+          Pipeline.runJoinedIncremental(deltaTurns,
+            spark.read.parquet(s"$dimsDir/dict").as[graft.model.DictEntry],
+            spark.read.parquet(s"$dimsDir/vecs"),
+            state, expectedDictKeys = dict.size.toLong)
+        else Pipeline.runIncremental(deltaTurns, dict, vecs, state)
       val ups = inc.clusterUpserts.count()
       val secs = (System.nanoTime() - t1) / 1e9
       (ups, secs, inc.clusters.count())
@@ -108,7 +128,7 @@ object IncrementBench {
       s""""speedup_vs_full":$speedup,""" +
       s""""delta_turns_per_sec":$deltaThr,""" +
       s""""upsert_rows":$nUpserts,"inc_rows":$nClusters,"full_rows":$nFull,""" +
-      s""""ncpu":$cpus}"""
+      s""""joined":$joined,"ncpu":$cpus}"""
     println(json)
 
     // GRAFT_INC_PROFILE=1: run the increment phase by phase in a clean
