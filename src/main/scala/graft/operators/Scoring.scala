@@ -50,14 +50,20 @@ object Scoring {
     // transform — the same CollapseProject barrier as TextFns.bindArray):
     // written inline inside the aggregate lambda it is re-evaluated once
     // per a-side candidate, O(|a|·|b|) map builds per row.
+    // NB: the null test must be explicit — Spark's (and DuckDB's) `least`
+    // SKIPS null arguments, so `least(c.prior, bp[c.entity])` on a
+    // non-shared entity would contribute c.prior instead of 0 and two
+    // surfaces with fully disjoint candidate sets would score overlap
+    // max(prior_a) (caught by RetractionSpec's bridge fixture).
     val priorOverlap = expr(
       """element_at(transform(
         |  array(map_from_entries(transform(b.candidates,
         |                                   d -> struct(d.entity, d.prior)))),
         |  bp -> aggregate(
         |    a.candidates, cast(0.0 as double),
-        |    (acc, c) -> greatest(acc, coalesce(least(c.prior, bp[c.entity]),
-        |                                       cast(0.0 as double))))), 1)""".stripMargin)
+        |    (acc, c) -> greatest(acc, if(bp[c.entity] IS NULL,
+        |                                 cast(0.0 as double),
+        |                                 least(c.prior, bp[c.entity]))))), 1)""".stripMargin)
     val agree = when(
       col("a.resolved") =!= "" && col("a.resolved") === col("b.resolved") &&
       col("a.resolvedScore") >= cfg.minMargin &&

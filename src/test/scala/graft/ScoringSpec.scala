@@ -50,4 +50,19 @@ class ScoringSpec extends SparkSpec {
     val n = "map_from_entries".r.findAllIn(plan).size
     assert(n == 1, s"expected 1 map_from_entries in plan, found $n")
   }
+
+  test("priorOverlap is 0 for fully disjoint candidate sets (least skips nulls)") {
+    import spark.implicits._
+    val m = (id: String, priors: Seq[(String, Double)]) => graft.model.Mention(
+      id, "c", 0, 0, 1, "s", "s",
+      priors.map { case (e, p) => graft.model.Candidate(e, p) }.toArray,
+      Array(1f, 0f), "", 0.0)
+    val pairs = spark.range(1)
+      .map(_ => (m("a", Seq("e1" -> 0.9, "e2" -> 0.8)),
+                 m("b", Seq("e3" -> 0.9, "e4" -> 0.8))))
+      .toDF("a", "b")
+    val row = Scoring.withFeatures(pairs).select("f_prior").head()
+    assert(row.getDouble(0) == 0.0,
+      "disjoint candidate sets must carry zero shared probability mass")
+  }
 }
