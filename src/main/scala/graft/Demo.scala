@@ -89,6 +89,26 @@ object Demo {
       println(s"increment: delta_mentions=${inc.deltaMentions.count()} " +
               s"upserts=${inc.clusterUpserts.count()} " +
               s"equals_from_scratch=${incAssign == fullAssign}")
+
+      // forget lifecycle: retract 10% of the conversations from the
+      // maintained state (right-to-be-forgotten / bad-source removal) and
+      // verify the repaired clustering equals a from-scratch run over the
+      // remaining turns — affected clusters split/re-min, nothing else
+      // moves
+      val nextState = Pipeline.applyIncrement(state, inc)
+      val retract = turns.select("conv_id").distinct()
+        .where(graft.operators.Sampling.hashSample(col("conv_id"), 0.1, "demo-retract"))
+      val ret = Pipeline.runRetraction(retract, nextState,
+                                       Pipeline.Config(score = score))
+      val retAssign = ret.clusters.select("mention_id", "cluster_id")
+        .as[(String, String)].collect().toMap
+      val scratchAssign = Pipeline.run(
+          turns.join(retract, Seq("conv_id"), "left_anti").as[graft.model.Turn],
+          dict, vecs, Pipeline.Config(score = score))
+        .select("mention_id", "cluster_id").as[(String, String)].collect().toMap
+      println(s"retraction: retracted_convs=${retract.count()} " +
+              s"upserts=${ret.clusterUpserts.count()} " +
+              s"equals_from_scratch=${retAssign == scratchAssign}")
     }
     spark.stop()
   }

@@ -91,12 +91,30 @@ object IncrementBench {
         .write.mode("overwrite").parquet(s"$dimsDir/vecs")
     }
 
+    // GRAFT_INC_RETRACT=1: time the FORGET path instead — retract
+    // deltaFrac of the BASE conversations via Pipeline.runRetraction
+    // over the staged state (the retract list itself is an input in
+    // production, so deriving it is untimed). The comparison leg is a
+    // from-scratch run over the remaining conversations.
+    val retractMode = sys.env.get("GRAFT_INC_RETRACT").contains("1")
+    val retractConvs =
+      if (retractMode)
+        baseTurns.select(col("conv_id")).distinct()
+          .where(operators.Sampling.hashSample(col("conv_id"), deltaFrac, "retrbench"))
+          .localCheckpoint(true)
+      else null
+
     // timed: the increment (before the full run, so warm-up bias favors
     // the from-scratch side). In profile mode the phased run below IS the
     // increment — running both would leave the first run's checkpoint
     // blocks contaminating the second's phase attribution.
     val t1 = System.nanoTime()
-    val (nUpserts, incS, nClusters) = if (profile) (-1L, -1.0, -1L) else {
+    val (nUpserts, incS, nClusters) = if (profile) (-1L, -1.0, -1L) else if (retractMode) {
+      val ret = Pipeline.runRetraction(retractConvs, state)
+      val ups = ret.clusterUpserts.count()
+      val secs = (System.nanoTime() - t1) / 1e9
+      (ups, secs, ret.clusters.count())
+    } else {
       val inc =
         if (joined)
           Pipeline.runJoinedIncremental(deltaTurns,
@@ -109,11 +127,16 @@ object IncrementBench {
       (ups, secs, inc.clusters.count())
     }
 
-    // timed: from-scratch over 100% (skippable for scaling reps where
-    // only the increment is under test)
+    // timed: from-scratch over 100% (retract mode: over the remaining
+    // conversations — the run the retraction replaces); skippable for
+    // scaling reps where only the maintenance op is under test
     val skipFull = sys.env.get("GRAFT_INC_SKIP_FULL").contains("1")
+    val fullInput =
+      if (retractMode)
+        baseTurns.join(retractConvs, Seq("conv_id"), "left_anti").as[Turn]
+      else turns
     val t2 = System.nanoTime()
-    val nFull = if (skipFull) -1L else Pipeline.run(turns, dict, vecs).count()
+    val nFull = if (skipFull) -1L else Pipeline.run(fullInput, dict, vecs).count()
     val fullS = if (skipFull) -1.0 else (System.nanoTime() - t2) / 1e9
 
     // ratios are only meaningful when BOTH legs were actually timed —
@@ -128,7 +151,7 @@ object IncrementBench {
       s""""speedup_vs_full":$speedup,""" +
       s""""delta_turns_per_sec":$deltaThr,""" +
       s""""upsert_rows":$nUpserts,"inc_rows":$nClusters,"full_rows":$nFull,""" +
-      s""""joined":$joined,"ncpu":$cpus}"""
+      s""""joined":$joined,"retract":$retractMode,"ncpu":$cpus}"""
     println(json)
 
     // GRAFT_INC_PROFILE=1: run the increment phase by phase in a clean
@@ -138,8 +161,21 @@ object IncrementBench {
         val t = System.nanoTime(); val a = body; (a, (System.nanoTime() - t) / 1e9)
       }
       val cfgP = Pipeline.Config()
+      // joined mode: attribute the dimension-join detection separately
+      // from the (shared) increment tail — the tail is identical
+      // machinery to the broadcast path, so any scaling gap between the
+      // two configurations lives in this phase
       val (deltaMs, detectS) = timed {
-        Pipeline.allMentions(deltaTurns, dictBc, vecsBc).toDF().localCheckpoint(true)
+        (if (joined)
+          operators.MentionDetect.resolveJoined(
+            operators.Coref.detectAndInheritJoined(
+              deltaTurns,
+              spark.read.parquet(s"$dimsDir/dict").as[graft.model.DictEntry],
+              dict.size.toLong, 0.01),
+            spark.read.parquet(s"$dimsDir/vecs")).toDF()
+        else
+          Pipeline.allMentions(deltaTurns, dictBc, vecsBc).toDF()
+        ).localCheckpoint(true)
       }
       val (parts, partsS) = timed {
         Pipeline.incrementParts(deltaMs, state, cfgP)

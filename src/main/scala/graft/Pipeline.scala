@@ -647,6 +647,279 @@ object Pipeline {
     baseUpserts.unionByName(scoringRows).unionByName(memberRows)
   }
 
+  /** One retraction's outputs. `clusterUpserts` is the MERGE INTO row set
+    * for the clusters table (surviving rows whose cluster id changed —
+    * a split, or a re-min after the old min-member left); the retracted
+    * rows themselves are DELETEs, expressed here as the anti-join carves
+    * inside `newState`; `clusters` is the convenience merged view over
+    * the remaining corpus. */
+  case class Retraction(clusterUpserts: DataFrame, clusters: DataFrame,
+                        newState: IncrementState)
+
+  /** RETRACTION maintenance — forget a set of conversations from a
+    * maintained clustering (the production drivers: right-to-be-forgotten
+    * deletes, bad-source removal, eval-set contamination purges) without
+    * a from-scratch re-run. The inverse of [[runIncremental]]: where an
+    * increment can only MERGE clusters (edges are append-only), a
+    * retraction can only SPLIT them (nodes are removed, never added), and
+    * the repair work is bounded by the AFFECTED clusters — clusters that
+    * contained a retracted mention — never the corpus.
+    *
+    * Per-stage cost discipline (affected = membership of clusters that
+    * lost a mention; retract = the removed rows):
+    *
+    *  1. retracted ids and affected cluster ids come from slim scans of
+    *     the clusters table filtered on the retract set — in production
+    *     a partition-prunable `conv_id IN (...)` scan;
+    *  2. survivors of affected clusters are the ONLY rows whose
+    *     assignment can change: an unaffected cluster lost no members,
+    *     so its membership — and its min-member cluster id — is
+    *     untouched, and no edge can connect it to an affected survivor
+    *     (such an edge would have made them one cluster already);
+    *  3. supernode repair is local by invariant: a (norm, resolved)
+    *     group always lives inside one cluster (members attach to their
+    *     rep's cluster), so a group that lost its representative has all
+    *     its remaining members inside the affected-survivor set — the
+    *     replacement rep is the group-min over eligible survivors,
+    *     exactly the from-scratch group-min over the remaining corpus.
+    *     Replacement reps get block keys computed from their own
+    *     payloads (a member was never keyed);
+    *  4. edges among the affected scoring survivors are re-derived with
+    *     [[Blocking.candidatePairsDelta]] over the full post-retraction
+    *     membership of every block an affected survivor belongs to —
+    *     regime and hub decisions follow the block's NEW full size, so
+    *     the pair set matches a from-scratch run over the remaining
+    *     corpus restricted to those nodes. Payloads are carved from the
+    *     base mention table by pair-id semi-join and never shuffled.
+    *     (A deployment that cannot afford re-scoring the affected region
+    *     would persist the scored edge table as a fifth state table and
+    *     carve it instead; four tables + O(affected) re-score keeps the
+    *     state surface identical to the append path.);
+    *  5. connected components run over that O(affected) subgraph only;
+    *     min-member ids survive because members still sort after their
+    *     (possibly replacement) group rep.
+    *
+    * Semantics: MONOTONE — retraction only removes nodes and the edges
+    * through them; it never creates links between previously-separate
+    * clusters. A from-scratch run over the remaining corpus could in
+    * principle emit NEW pairs when a block shrinks across a regime
+    * boundary (a purged block dropping under `blockMaxSize`, a star
+    * block dropping to triangle); those pairs are deliberately not
+    * re-scored — deleting data must never merge clusters (the mirror of
+    * the increment's append-only-edges stance: appends only merge,
+    * retractions only split, assignments never flap). On corpora where
+    * the scorer separates entities cleanly the result is EXACTLY the
+    * from-scratch clustering over the remaining turns — property-tested
+    * in RetractionSpec, including a genuine split (the bridging mention
+    * retracted) and rep re-minting.
+    *
+    * In production the `newState` carves are Iceberg `DELETE WHERE
+    * conv_id IN (...)` (partition/file-level deletes) + one MERGE of
+    * `clusterUpserts`; here they are anti-joins so chained
+    * retract/increment cycles compose in-session. */
+  def runRetraction(retractConvs: DataFrame, state: IncrementState,
+                    cfg: Config = Config()): Retraction = CacheTracker.scoped {
+    val rconvs = retractConvs.select(col("conv_id")).distinct()
+      .localCheckpoint(true)
+    val parts = retractionParts(rconvs, state, cfg)
+    val out = retractionAssemble(rconvs, parts, state)
+    CacheTracker.drainUnpersist()
+    out
+  }
+
+  /** The retraction's three affected-region artifacts — each
+    * retract-sized, each a checkpointable stage table. */
+  private[graft] case class RetrParts(replacementReps: DataFrame,
+                                      replacementKeyed: DataFrame,
+                                      upserts: DataFrame)
+
+  private def retractionParts(rconvs: DataFrame, state: IncrementState,
+                              cfg: Config): RetrParts = {
+    val spark = state.clusters.sparkSession
+    import spark.implicits._
+
+    val slimClusters = state.clusters.select("mention_id", "conv_id", "cluster_id")
+    val retracted = slimClusters.join(rconvs, Seq("conv_id"), "left_semi")
+      .select("mention_id", "cluster_id").localCheckpoint(true)
+    val retractIds = retracted.select("mention_id")
+    val affectedCids = retracted.select("cluster_id").distinct()
+
+    // survivors of affected clusters (meta + old assignment)
+    val surv = state.clusters
+      .join(affectedCids, Seq("cluster_id"), "left_semi")
+      .join(rconvs, Seq("conv_id"), "left_anti")
+      .localCheckpoint(true)
+    val survIds = surv.select("mention_id")
+
+    // supernode repair: groups whose representative was retracted re-mint
+    // rep = min over eligible survivors (== from-scratch group-min)
+    val isEligible = if (cfg.supernode) eligibleCond(cfg) else lit(false)
+    val survMeta = state.mentions
+      .join(survIds, Seq("mention_id"), "left_semi")
+      .select(col("mention_id"), col("norm"), col("resolved"),
+              col("resolvedScore"))
+      .localCheckpoint(true)
+    val brokenGroups = state.reps
+      .join(retractIds.withColumnRenamed("mention_id", "rep_id"),
+            Seq("rep_id"), "left_semi")
+      .select("norm", "resolved")
+    val replacementReps = survMeta.where(isEligible)
+      .join(brokenGroups, Seq("norm", "resolved"), "left_semi")
+      .groupBy("norm", "resolved")
+      .agg(min("mention_id").as("rep_id"))
+      .localCheckpoint(true)
+    val newRepsTable = state.reps
+      .join(brokenGroups, Seq("norm", "resolved"), "left_anti")
+      .unionByName(replacementReps.select("norm", "resolved", "rep_id"))
+
+    // keyed repair: drop retracted rows, add keys for replacement reps
+    // (from their own payloads — MinHash keys are per-mention)
+    val replacementRepIds = replacementReps.select(col("rep_id").as("mention_id"))
+    val newRepMs = state.mentions
+      .join(replacementRepIds, Seq("mention_id"), "left_semi").as[Mention]
+    val newRepKeyed = Blocking.withBlockKeys(newRepMs, cfg.lsh)
+      .localCheckpoint(true)
+    // deliberately LAZY (never localCheckpointed): this is the whole
+    // post-retraction keyed table — production reads it after the
+    // DELETE; materializing it here would be an O(corpus) copy. The
+    // repeated references below each re-scan the base table with the
+    // slim anti-join, which is the intended discipline.
+    val newKeyedAll = state.keyed
+      .join(retractIds.withColumnRenamed("mention_id", "mid"),
+            Seq("mid"), "left_anti")
+      .unionByName(newRepKeyed)
+
+    // scoring nodes of the affected region: surviving old scoring
+    // mentions (they have keyed rows) + replacement reps
+    val scoringSurvIds = newKeyedAll
+      .join(survIds.withColumnRenamed("mention_id", "mid"), Seq("mid"), "left_semi")
+      .select(col("mid").as("mention_id")).distinct()
+      .localCheckpoint(true)
+
+    // re-derive edges among the affected scoring nodes: full
+    // post-retraction membership of every block they touch (regimes/hubs
+    // by the block's NEW full size), pairs restricted to the region
+    val activeKeys = newKeyedAll
+      .join(scoringSurvIds.withColumnRenamed("mention_id", "mid"),
+            Seq("mid"), "left_semi")
+      .select("block_key").distinct()
+    val keyedActive = newKeyedAll
+      .join(activeKeys, Seq("block_key"), "left_semi")
+      .localCheckpoint(true)
+    val pairs = Blocking.candidatePairsDelta(keyedActive,
+        scoringSurvIds.select(col("mention_id").as("mid")),
+        cfg.tau, cfg.blockMaxSize, cfg.starThreshold, cfg.starK)
+      .join(scoringSurvIds.withColumnRenamed("mention_id", "a_id"),
+            Seq("a_id"), "left_semi")
+      .join(scoringSurvIds.withColumnRenamed("mention_id", "b_id"),
+            Seq("b_id"), "left_semi")
+      .localCheckpoint(true)
+    val pairIds = pairs.select(col("a_id").as("mention_id"))
+      .unionByName(pairs.select(col("b_id").as("mention_id"))).distinct()
+    val payloadMs = state.mentions
+      .join(pairIds, Seq("mention_id"), "left_semi")
+      .localCheckpoint(true)
+      .as[Mention]
+    val edges = Scoring.edges(Blocking.attachPayload(pairs, payloadMs), cfg.score)
+      .localCheckpoint(true)
+
+    // CC over the affected subgraph; singletons coalesce to themselves.
+    // Members still sort after their group rep, so component min over
+    // scoring nodes is the global min — same id semantics as assemble.
+    val assign = Clustering.connectedComponents(edges, cfg.ccMaxIter)
+      .localCheckpoint(true)
+    val scoringCid = scoringSurvIds
+      .join(assign.withColumnRenamed("node", "mention_id"),
+            Seq("mention_id"), "left")
+      .select(col("mention_id"),
+              coalesce(col("cluster_id"), col("mention_id")).as("cluster_id"))
+    val memberCid = survMeta.where(isEligible)
+      .join(newRepsTable, Seq("norm", "resolved"))
+      .where(col("mention_id") =!= col("rep_id"))
+      .join(assign.withColumnRenamed("node", "rep_id"), Seq("rep_id"), "left")
+      .select(col("mention_id"),
+              coalesce(col("cluster_id"), col("rep_id")).as("cluster_id"))
+    val newAssign = scoringCid.unionByName(memberCid).localCheckpoint(true)
+
+    // MERGE rows: surviving affected rows whose assignment changed
+    val metaCols = Seq("mention_id", "conv_id", "turn_idx", "begin", "end",
+                       "surface", "norm", "resolved")
+    val upserts = surv
+      .withColumnRenamed("cluster_id", "old_cid")
+      .join(newAssign, Seq("mention_id"))
+      .where(col("cluster_id") =!= col("old_cid"))
+      .select(metaCols.map(col) :+ col("cluster_id"): _*)
+      .localCheckpoint(true)
+
+    RetrParts(replacementReps, newRepKeyed, upserts)
+  }
+
+  /** Apply a retraction's artifacts: base-table carves (production:
+    * Iceberg DELETE WHERE conv_id IN (...)) + the replacement-rep
+    * appends + one MERGE of the upserts. */
+  private def retractionAssemble(rconvs: DataFrame, parts: RetrParts,
+                                 state: IncrementState): Retraction = {
+    val retractIds = state.clusters
+      .join(rconvs, Seq("conv_id"), "left_semi")
+      .select("mention_id")
+    val newClusters = state.clusters
+      .join(rconvs, Seq("conv_id"), "left_anti")
+      .join(parts.upserts.select("mention_id"), Seq("mention_id"), "left_anti")
+      .unionByName(parts.upserts)
+    val newState = IncrementState(
+      mentions = state.mentions.join(rconvs, Seq("conv_id"), "left_anti"),
+      keyed = state.keyed
+        .join(retractIds.withColumnRenamed("mention_id", "mid"),
+              Seq("mid"), "left_anti")
+        .unionByName(parts.replacementKeyed),
+      // rep rows whose representative was retracted are replaced by the
+      // re-minted group-min rows (groups left with no eligible survivor
+      // simply disappear)
+      reps = state.reps
+        .join(retractIds.withColumnRenamed("mention_id", "rep_id"),
+              Seq("rep_id"), "left_anti")
+        .select("norm", "resolved", "rep_id")
+        .unionByName(parts.replacementReps.select("norm", "resolved", "rep_id")),
+      clusters = newClusters)
+    Retraction(parts.upserts, newClusters, newState)
+  }
+
+  /** [[runRetraction]] with resumable stage tables (north_rule
+    * resumability for the forget path too): the replacement-rep, their
+    * block-key, and cluster-upsert artifacts each land in
+    * `$root/<stage>` with a fingerprint manifest — a killed retraction
+    * redoes only unfinished stages, a completed one is a pure read, and
+    * the staged tables are exactly what the caller turns into
+    * DELETE/append/MERGE against the base tables. */
+  def runRetractionCheckpointed(retractConvs: DataFrame,
+                                state: IncrementState,
+                                root: String,
+                                fingerprint: String,
+                                cfg: Config = Config()): Retraction =
+    CacheTracker.scoped {
+      val spark = state.clusters.sparkSession
+      val rconvs = retractConvs.select(col("conv_id")).distinct()
+        .localCheckpoint(true)
+      // parts are EAGER — only compute when some stage is missing
+      // (mirrors runIncrementalCheckpointed's staging discipline)
+      val stages = Seq("retract_reps", "retract_keyed", "retract_upserts")
+      lazy val parts = retractionParts(rconvs, state, cfg)
+      if (!stages.forall(n =>
+            TableIO.readFingerprint(s"$root/$n").contains(fingerprint))) {
+        parts: Unit
+      }
+      val staged = RetrParts(
+        replacementReps = TableIO.stage(spark, "retract_reps",
+          s"$root/retract_reps", fingerprint) { parts.replacementReps },
+        replacementKeyed = TableIO.stage(spark, "retract_keyed",
+          s"$root/retract_keyed", fingerprint) { parts.replacementKeyed },
+        upserts = TableIO.stage(spark, "retract_upserts",
+          s"$root/retract_upserts", fingerprint) { parts.upserts })
+      val out = retractionAssemble(rconvs, staged, state)
+      CacheTracker.drainUnpersist()
+      out
+    }
+
   /** Checkpointed variant: every stage lands in `$root/<stage>` with a
     * manifest; a rerun with the same fingerprint resumes instead of
     * recomputing (north_rule resumability). */

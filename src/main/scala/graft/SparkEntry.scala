@@ -752,6 +752,57 @@ object SparkEntry {
           maxTokens = 128, granularity = 16, shardHexChars = 1)
         .select(col("id").as("doc_id"), col("tok_len"), col("bin_key"))
         .orderBy("doc_id")),
+
+    // RETRACTION flagship: bootstrap the full corpus into IncrementState
+    // base tables, then FORGET conversations src5..src9 via
+    // Pipeline.runRetraction — O(affected-cluster) repair, no from-scratch
+    // re-run. Must emit exactly the from-scratch clustering over the
+    // remaining conversations (splits, rep re-minting, and cluster-id
+    // re-mins are the operator under test; also property-gated in
+    // RetractionSpec incl. a genuine bridge-mention split).
+    "q55_er_clusters_retract" -> ((s, dir) => {
+      import s.implicits._
+      val turns = QueryLib.turnsDs(s, dir)
+      val dictBc = s.sparkContext.broadcast(QueryLib.bigramDict)
+      val vecsBc = s.sparkContext.broadcast(Map.empty[String, Array[Float]])
+      val state = Pipeline.bootstrapState(Pipeline.allMentions(turns, dictBc, vecsBc))
+      val ret = Pipeline.runRetraction(
+        turns.select("conv_id").where(col("conv_id") >= "src5").distinct(), state)
+      ret.clusters
+        .select(col("mention_id"), col("cluster_id"), col("norm").as("bg"))
+        .orderBy("mention_id")
+    }),
+
+    // NEAR-DUP CANONICALIZATION: minhash pairs (q20's exact set) →
+    // connected components (transitive closure of ~) → keep ONE doc per
+    // group: longest text, min-id tie-break. The full dedup decision a
+    // corpus clean-up actually ships, not just the pair list.
+    "q56_neardup_canonical" -> ((s, dir) =>
+      operators.Dedup.canonicalize(docs(s, dir), "doc_id", "text", threshold = 0.6)
+        .select(col("id").as("doc_id"), col("group_id"),
+                col("group_size").cast("bigint").as("group_size"),
+                col("n_chars"), col("keep"))
+        .orderBy("doc_id")),
+
+    // DUPLICATE-SPAN coverage (ExactSubstr family): per doc, the number
+    // of token positions covered by a 3-gram that also occurs in another
+    // document. Catches pasted boilerplate that doc-level minhash misses.
+    "q57_dup_spans" -> ((s, dir) =>
+      operators.Dedup.dupSpans(docs(s, dir), "doc_id", "text", n = 3)
+        .select(col("id").as("doc_id"), col("n_tokens"),
+                col("n_dup_positions"), col("dup_ratio"))
+        .orderBy("doc_id")),
+
+    // REPETITION quality flags (Gopher family): top-unigram share,
+    // top-bigram share, distinct-token ratio — map-only column math.
+    "q58_repetition" -> ((s, dir) =>
+      docsWithTokens(s, dir)
+        .withColumn("r", TextFns.repetitionSignals(col("toks")))
+        .select(col("doc_id"),
+                col("r.top_unigram_share").as("top_unigram_share"),
+                col("r.top_bigram_share").as("top_bigram_share"),
+                col("r.distinct_ratio").as("distinct_ratio"))
+        .orderBy("doc_id")),
   )
 
   /** Doc-similarity edges: same conversation (source), turn distance ≤ 3,
@@ -1462,5 +1513,105 @@ object SparkEntry {
         |SELECT doc_id, tok_len,
         |  'b' || bucket || ':s' || shard || ':' || CAST(floor(rn / cap) AS BIGINT) AS bin_key
         |FROM r ORDER BY doc_id""".stripMargin,
+
+    // q13's clustering re-derived over the corpus MINUS the retracted
+    // conversations (conv_id >= 'src5', i.e. src5..src9 — src1x sorts
+    // below 'src5') — the min-window runs AFTER the filter, so cluster
+    // ids re-min over the survivors exactly as the retraction must
+    "q55_er_clusters_retract" ->
+      s"""WITH ${QueryLib.allMentionsSql},
+         |rem AS (SELECT * FROM allm WHERE conv_id < 'src5')
+         |SELECT printf('%s:%06d:%06d', conv_id, turn_idx, bpos) AS mention_id,
+         |       min(printf('%s:%06d:%06d', conv_id, turn_idx, bpos)) OVER (PARTITION BY bg) AS cluster_id,
+         |       bg
+         |FROM rem ORDER BY mention_id""".stripMargin,
+
+    // q20's exact near-dup pair set → recursive-CTE connected components
+    // (q17's technique, numeric ids) → per-group keep pick: longest text,
+    // then min doc_id
+    "q56_neardup_canonical" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(lower(text),'[a-z0-9]+')) AS tok,
+        |         generate_subscripts(regexp_extract_all(lower(text),'[a-z0-9]+'),1) AS pos
+        |  FROM documents),
+        |sh AS (
+        |  SELECT a.doc_id, list_distinct(list(a.tok || ' ' || b.tok || ' ' || c.tok)) AS s
+        |  FROM t a JOIN t b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        |           JOIN t c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+        |  GROUP BY a.doc_id),
+        |e0 AS (
+        |  SELECT a.doc_id AS src, b.doc_id AS dst
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE round(len(list_intersect(a.s, b.s)) * 1.0 /
+        |              (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 4) >= 0.6),
+        |e AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+        |r AS (
+        |  SELECT src AS node, src AS reach FROM e
+        |  UNION
+        |  SELECT e.dst AS node, r.reach FROM r JOIN e ON e.src = r.node),
+        |cc AS (SELECT node, min(reach) AS gid FROM r GROUP BY node),
+        |g AS (
+        |  SELECT d.doc_id, CAST(len(d.text) AS BIGINT) AS n_chars,
+        |         coalesce(cc.gid, d.doc_id) AS group_id
+        |  FROM documents d LEFT JOIN cc ON cc.node = d.doc_id)
+        |SELECT doc_id, group_id,
+        |       count(*) OVER (PARTITION BY group_id) AS group_size,
+        |       n_chars,
+        |       row_number() OVER (PARTITION BY group_id
+        |                          ORDER BY n_chars DESC, doc_id) = 1 AS keep
+        |FROM g ORDER BY doc_id""".stripMargin,
+
+    // exact positional re-derivation of the duplicate-span coverage: a
+    // position is covered when a 3-gram starting at one of the 3 grams
+    // overlapping it occurs in >= 2 distinct docs
+    "q57_dup_spans" ->
+      """WITH t AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(lower(text),'[a-z0-9]+')) AS tok,
+        |         generate_subscripts(regexp_extract_all(lower(text),'[a-z0-9]+'),1) AS pos
+        |  FROM documents),
+        |g AS (
+        |  SELECT a.doc_id, a.pos, a.tok || ' ' || b.tok || ' ' || c.tok AS gram
+        |  FROM t a JOIN t b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        |           JOIN t c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2),
+        |dg AS (
+        |  SELECT gram FROM (SELECT gram, count(DISTINCT doc_id) AS nd
+        |                    FROM g GROUP BY 1) WHERE nd >= 2),
+        |cov AS (
+        |  SELECT DISTINCT g.doc_id, g.pos + o.o AS cp
+        |  FROM g JOIN dg USING (gram), (SELECT unnest(range(3)) AS o) o),
+        |c AS (SELECT doc_id, count(*) AS n_dup_positions FROM cov GROUP BY 1),
+        |nt AS (
+        |  SELECT doc_id,
+        |         CAST(len(regexp_extract_all(lower(text),'[a-z0-9]+')) AS BIGINT) AS n_tokens
+        |  FROM documents)
+        |SELECT nt.doc_id, nt.n_tokens,
+        |       CAST(coalesce(c.n_dup_positions, 0) AS BIGINT) AS n_dup_positions,
+        |       round(CASE WHEN nt.n_tokens > 0
+        |                  THEN coalesce(c.n_dup_positions, 0) * 1.0 / nt.n_tokens
+        |                  ELSE 0.0 END, 4) AS dup_ratio
+        |FROM nt LEFT JOIN c USING (doc_id) ORDER BY nt.doc_id""".stripMargin,
+
+    // per-doc top-unigram / top-bigram share and distinct-token ratio
+    "q58_repetition" ->
+      """WITH t AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(lower(text),'[a-z0-9]+')) AS tok,
+        |         generate_subscripts(regexp_extract_all(lower(text),'[a-z0-9]+'),1) AS pos
+        |  FROM documents),
+        |uc AS (SELECT doc_id, tok, count(*) AS n FROM t GROUP BY 1, 2),
+        |u AS (SELECT doc_id, max(n) AS mx, sum(n) AS tot FROM uc GROUP BY 1),
+        |bg AS (
+        |  SELECT a.doc_id, a.tok || ' ' || b.tok AS big
+        |  FROM t a JOIN t b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+        |bc AS (SELECT doc_id, big, count(*) AS n FROM bg GROUP BY 1, 2),
+        |b AS (SELECT doc_id, max(n) AS mx, sum(n) AS tot FROM bc GROUP BY 1),
+        |dr AS (SELECT doc_id, count(DISTINCT tok) AS d, count(*) AS tot FROM t GROUP BY 1)
+        |SELECT d.doc_id,
+        |       round(coalesce(u.mx * 1.0 / u.tot, 0.0), 4) AS top_unigram_share,
+        |       round(coalesce(b.mx * 1.0 / b.tot, 0.0), 4) AS top_bigram_share,
+        |       round(coalesce(dr.d * 1.0 / dr.tot, 0.0), 4) AS distinct_ratio
+        |FROM documents d
+        |LEFT JOIN u USING (doc_id) LEFT JOIN b USING (doc_id)
+        |LEFT JOIN dr USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
   )
 }

@@ -192,4 +192,30 @@ object TextFns {
         .as("alnum_ratio"),
     )
   }
+
+  /** Repetition-signal struct (the Gopher quality-filter family, Rae et
+    * al. 2021 §A1 "repetitious text"): share of the single most frequent
+    * unigram and bigram, plus the distinct-token ratio. High top-n-gram
+    * share / low distinct ratio marks degenerate boilerplate and
+    * generation loops. Pure per-row column math over the token array —
+    * no shuffle, O(distinct·n) per row via higher-order array functions;
+    * ratios rounded to 4 decimals for oracle comparability.
+    *
+    * The token array is lambda-bound once ([[bindArray]]) so the
+    * (possibly expensive) tokenizer expression isn't re-evaluated per
+    * nested reference. */
+  def repetitionSignals(toks: Column): Column = bindArray(toks, { tk =>
+    val nTok = size(tk)
+    val topCount = (arr: Column) =>
+      aggregate(array_distinct(arr), lit(0), (acc, t) =>
+        greatest(acc, size(filter(arr, x => x === t))))
+    struct(
+      round(when(nTok > 0, topCount(tk).cast("double") / nTok)
+        .otherwise(0.0), 4).as("top_unigram_share"),
+      round(when(nTok >= 2, topCount(bigrams(tk)).cast("double") / (nTok - 1))
+        .otherwise(0.0), 4).as("top_bigram_share"),
+      round(when(nTok > 0, size(array_distinct(tk)).cast("double") / nTok)
+        .otherwise(0.0), 4).as("distinct_ratio"),
+    )
+  })
 }

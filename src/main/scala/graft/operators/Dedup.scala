@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.{MinHash, TextFns}
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Deduplication family for large-scale text corpora — the training-data-
@@ -138,5 +138,98 @@ object Dedup {
       .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).cast("int"))
       .where(col("hamming") <= maxHamming)
       .select("a_id", "b_id", "hamming")
+  }
+
+  /** Near-duplicate GROUP canonicalization — the step after pair
+    * detection that an actual corpus clean-up runs: connected components
+    * over the near-dup pair graph (transitive closure: A~B, B~C ⇒ one
+    * group even if A,C don't pair directly), then ONE kept representative
+    * per group by an explicit policy — longest text first (most content
+    * survives), min id as the tie-break. Docs with no near-dup are their
+    * own group and are kept.
+    *
+    * Output: one row per input doc — (id, group_id = min doc id of the
+    * group, group_size, n_chars, keep).
+    *
+    * Scale shape: CC runs over the pair set only (near-dup pairs, not
+    * docs); the policy pick is a window over group_id whose partitions are
+    * dup-group-sized, and only slim (id, n_chars, group_id) rows cross
+    * its shuffle — text never does. */
+  def canonicalizeFrom(df: DataFrame, idCol: String, textCol: String,
+                       pairs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // connectedComponents compares node ids as STRINGS (its pipeline
+    // callers use lexicographically-ordered mention ids); numeric doc
+    // ids must be zero-padded on the way in or the "min id" group
+    // representative silently becomes the lexicographic min ("185" <
+    // "61" — caught by the q56 oracle), then cast back on the way out
+    val pad = (c: Column) => lpad(c.cast("string"), 20, "0")
+    val edges = pairs.select(pad(col("a_id")).as("src"), pad(col("b_id")).as("dst"))
+    val assign = Clustering.connectedComponents(edges)
+      .select(col("node").cast("long").as("id"),
+              col("cluster_id").cast("long").as("cid"))
+    val base = df.select(col(idCol).cast("long").as("id"),
+                         length(col(textCol)).cast("bigint").as("n_chars"))
+    val grouped = base
+      .join(assign, Seq("id"), "left")
+      .select(col("id"), col("n_chars"),
+              coalesce(col("cid"), col("id")).as("group_id"))
+    val pick = Window.partitionBy("group_id").orderBy(desc("n_chars"), asc("id"))
+    val sizeW = Window.partitionBy("group_id")
+    grouped
+      .withColumn("group_size", count(lit(1)).over(sizeW))
+      .withColumn("keep", row_number().over(pick) === 1)
+  }
+
+  /** [[canonicalizeFrom]] over [[minhashPairs]] — one-call MinHash-LSH
+    * near-dup removal with representative retention. */
+  def canonicalize(df: DataFrame, idCol: String, textCol: String,
+                   shingleN: Int = 3, k: Int = 128,
+                   threshold: Double = 0.6): DataFrame =
+    canonicalizeFrom(df, idCol, textCol,
+      minhashPairs(df, idCol, textCol, shingleN, k, threshold))
+
+  /** Cross-document duplicate-SPAN detection (the ExactSubstr family of
+    * Lee et al., "Deduplicating Training Data Makes Language Models
+    * Better", ACL'22 — approximated at fixed gram length `n`): a token
+    * position is duplicate-covered when some n-token gram overlapping it
+    * also occurs in ANOTHER document. Doc-level near-dup (minhash) misses
+    * boilerplate spans pasted into otherwise-distinct documents; this
+    * catches them. Within-doc repeats deliberately do NOT count (the
+    * gram must appear in ≥ 2 distinct docs). Output per doc:
+    * (id, n_tokens, n_dup_positions, dup_ratio) — masking/filtering on
+    * the ratio is the caller's policy step.
+    *
+    * Scale shape: positional grams are map-only off one tokenize pass;
+    * the global gram-frequency aggregate and the hit semi-join move slim
+    * (gram, id, pos) rows only (at 100 TB, substitute a 64-bit hash of
+    * the gram string for the gram itself — collisions only ever
+    * over-mark); the position explode runs on HIT grams only, so its
+    * volume is bounded by the actually-duplicated text, and the final
+    * per-doc aggregate is a map-side-combinable count. */
+  def dupSpans(df: DataFrame, idCol: String, textCol: String,
+               n: Int = 3): DataFrame = {
+    val toks = df.select(col(idCol).cast("long").as("id"),
+                         TextFns.tokens(col(textCol)).as("tk"))
+    val grams = graft.CacheTracker.register(
+      toks.select(col("id"),
+          posexplode(Decontaminate.ngrams(col("tk"), n)).as(Seq("pos", "gram")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val dupGrams = grams.groupBy("gram")
+      .agg(countDistinct("id").as("nd"))
+      .where(col("nd") >= 2)
+      .select("gram")
+    val covered = grams.join(dupGrams, "gram")
+      .select(col("id"), explode(sequence(col("pos"), col("pos") + lit(n - 1))).as("cp"))
+      .distinct()
+      .groupBy("id").agg(count(lit(1)).as("n_dup_positions"))
+    toks.select(col("id"), size(col("tk")).cast("bigint").as("n_tokens"))
+      .join(covered, Seq("id"), "left")
+      .select(col("id"), col("n_tokens"),
+              coalesce(col("n_dup_positions"), lit(0L)).as("n_dup_positions"),
+              round(when(col("n_tokens") > 0,
+                  coalesce(col("n_dup_positions"), lit(0L)).cast("double") /
+                    col("n_tokens"))
+                .otherwise(0.0), 4).as("dup_ratio"))
   }
 }

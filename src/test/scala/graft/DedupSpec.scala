@@ -100,4 +100,89 @@ class DedupSpec extends SparkSpec {
     val (_, r9) = Dedup.autoBanding(128, 0.9)
     assert(r9 > r)
   }
+
+  test("canonicalize: transitive closure groups chains; keep = longest then min id") {
+    // multi-digit ids on purpose: the group representative must be the
+    // NUMERIC min (61), not the lexicographic min ("185" < "61")
+    val df = Seq(
+      (61L, "short one"),        // ~ 185 via planted pair
+      (185L, "the longest text"), // ~ 61, ~ 203 — the bridge
+      (203L, "short two"),        // ~ 185 only (no direct 61-203 pair)
+      (9L, "unrelated"))          // singleton
+      .toDF("doc_id", "text")
+    val pairs = Seq((61L, 185L, 0.9), (185L, 203L, 0.9)).toDF("a_id", "b_id", "jaccard")
+    val out = Dedup.canonicalizeFrom(df, "doc_id", "text", pairs)
+      .select("id", "group_id", "group_size", "keep")
+      .as[(Long, Long, Long, Boolean)].collect().toSet
+    assert(out == Set(
+      (61L, 61L, 3L, false),
+      (185L, 61L, 3L, true),  // longest text wins the group
+      (203L, 61L, 3L, false),
+      (9L, 9L, 1L, true)))
+  }
+
+  test("canonicalize keeps exactly one doc per group on the fixture corpus") {
+    val out = Dedup.canonicalize(docs, "doc_id", "text", threshold = 0.6).cache()
+    val perGroup = out.groupBy("group_id")
+      .agg(sum(when(col("keep"), 1).otherwise(0)).as("kept"),
+           count(lit(1)).as("n"))
+      .as[(Long, Long, Long)].collect()
+    assert(perGroup.forall(_._2 == 1L), "every group keeps exactly one doc")
+    assert(out.count() == docs.count(), "every input doc is assigned")
+    // groups are exactly the connected components of the pair graph:
+    // every pair's two sides share a group
+    val pairs = Dedup.minhashPairs(docs, "doc_id", "text", threshold = 0.6)
+      .select("a_id", "b_id").as[(Long, Long)].collect()
+    val gid = out.select("id", "group_id").as[(Long, Long)].collect().toMap
+    assert(pairs.forall { case (a, b) => gid(a) == gid(b) })
+  }
+
+  test("dupSpans: planted cross-doc span is covered; within-doc repeats are not") {
+    val df = Seq(
+      (1L, "alpha beta gamma delta epsilon"),   // shares "beta gamma delta" with 2
+      (2L, "zeta beta gamma delta eta theta"),
+      (3L, "iota kappa iota kappa iota kappa"), // within-doc repeat ONLY
+      (4L, "mu nu"))                            // < n tokens: no grams
+      .toDF("doc_id", "text")
+    val rows = Dedup.dupSpans(df, "doc_id", "text", n = 3)
+      .select("id", "n_dup_positions").as[(Long, Long)].collect().toMap
+    // doc1: positions of "beta gamma delta" = 3 covered tokens
+    assert(rows(1L) == 3L)
+    assert(rows(2L) == 3L)
+    assert(rows(3L) == 0L, "within-doc repetition must not count as cross-doc dup")
+    assert(rows(4L) == 0L)
+  }
+
+  test("dupSpans: overlapping shared grams merge into one covered interval") {
+    // docs share a 4-token run -> two overlapping 3-grams -> 4 covered
+    // positions, not 6
+    val df = Seq(
+      (1L, "a b c d x"),
+      (2L, "y a b c d"))
+      .toDF("doc_id", "text")
+    val rows = Dedup.dupSpans(df, "doc_id", "text", n = 3)
+      .select("id", "n_dup_positions").as[(Long, Long)].collect().toMap
+    assert(rows(1L) == 4L)
+    assert(rows(2L) == 4L)
+  }
+
+  test("repetitionSignals: hand-computed shares and degenerate cases") {
+    import graft.functions.TextFns
+    val df = Seq(
+      (1L, "spam spam spam ham"), // top uni 3/4; bigrams: spam-spam 2 of 3
+      (2L, "all distinct words here"),
+      (3L, "one"),                // single token: bigram share 0
+      (4L, ""))                   // empty: all 0
+      .toDF("doc_id", "text")
+    val out = df
+      .withColumn("r", TextFns.repetitionSignals(TextFns.tokens(col("text"))))
+      .select(col("doc_id"), col("r.top_unigram_share"),
+              col("r.top_bigram_share"), col("r.distinct_ratio"))
+      .as[(Long, Double, Double, Double)].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4))).toMap
+    assert(out(1L) == ((0.75, 0.6667, 0.5)))
+    assert(out(2L) == ((0.25, 0.3333, 1.0)))
+    assert(out(3L) == ((1.0, 0.0, 1.0)))
+    assert(out(4L) == ((0.0, 0.0, 0.0)))
+  }
 }
