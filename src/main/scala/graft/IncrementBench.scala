@@ -100,9 +100,10 @@ object IncrementBench {
     val retractConvs =
       if (retractMode)
         baseTurns.select(col("conv_id")).distinct()
-          .where(operators.Sampling.hashSample(col("conv_id"), deltaFrac, "retrbench"))
+          .where(operators.Sampling.hashSampleAt(col("conv_id"), deltaFrac, 6, "retrbench"))
           .localCheckpoint(true)
       else null
+    val nRetract = if (retractMode) retractConvs.count() else -1L
 
     // timed: the increment (before the full run, so warm-up bias favors
     // the from-scratch side). In profile mode the phased run below IS the
@@ -151,7 +152,7 @@ object IncrementBench {
       s""""speedup_vs_full":$speedup,""" +
       s""""delta_turns_per_sec":$deltaThr,""" +
       s""""upsert_rows":$nUpserts,"inc_rows":$nClusters,"full_rows":$nFull,""" +
-      s""""joined":$joined,"retract":$retractMode,"ncpu":$cpus}"""
+      s""""joined":$joined,"retract":$retractMode,"retract_convs":$nRetract,"ncpu":$cpus}"""
     println(json)
 
     // GRAFT_INC_PROFILE=1: run the increment phase by phase in a clean

@@ -65,6 +65,25 @@ object Sampling {
     hashCell(key, seed) < bound(frac)
   }
 
+  /** [[hashSample]] at 16^hexChars-cell granularity. The 2-hex default
+    * quantizes fractions below 1/256 to ZERO (a retract-list bench at
+    * frac 3e-4 silently sampled an empty set) — pass more hex chars for
+    * small fractions. Same mechanics: pure function of (key, seed),
+    * stable under repartitioning, smaller fractions nest inside larger
+    * ones at the same hexChars. Existing oracles keep the 2-hex
+    * [[hashSample]]. */
+  def hashSampleAt(key: Column, frac: Double, hexChars: Int,
+                   seed: String = ""): Column = {
+    require(frac >= 0.0 && frac <= 1.0, "frac in [0,1]")
+    require(hexChars >= 1 && hexChars <= 12, "hexChars in [1,12]")
+    val cellsTotal = math.pow(16, hexChars.toDouble).toLong
+    val cells = math.round(frac * cellsTotal)
+    // "g" sorts above every hex cell — the full-keep bound
+    val b = if (cells >= cellsTotal) "g"
+            else ("%0" + hexChars + "x").format(cells)
+    substring(md5(concat(key.cast("string"), lit(seed))), 1, hexChars) < lit(b)
+  }
+
   /** Per-class keep-predicate — class-dependent sampling fractions (e.g.
     * per-language quotas when mixing a training corpus: halve English,
     * quarter the hot crawl source, keep the rest). Classes absent from

@@ -71,6 +71,20 @@ class SamplingSpec extends SparkSpec {
     assert(math.abs(kept("zh").toDouble / totals("zh") - 0.25) < 0.05, kept)
   }
 
+  test("hashSampleAt resolves fractions the 2-hex cell floor quantizes to zero") {
+    val wide = spark.range(100000).select(col("id").cast("string").as("k"))
+    // 2-hex granularity: frac 1e-3 rounds to zero cells -> empty sample
+    assert(wide.where(Sampling.hashSample(col("k"), 0.001)).count() == 0L)
+    val fine = wide.where(Sampling.hashSampleAt(col("k"), 0.001, 6)).count()
+    assert(fine > 50 && fine < 200, s"expected ~100 of 100k, got $fine")
+    // nesting at the same granularity
+    val small = wide.where(Sampling.hashSampleAt(col("k"), 0.001, 6))
+    val large = wide.where(Sampling.hashSampleAt(col("k"), 0.01, 6))
+    assert(small.join(large, Seq("k"), "left_anti").count() == 0L)
+    // full keep
+    assert(wide.where(Sampling.hashSampleAt(col("k"), 1.0, 6)).count() == 100000L)
+  }
+
   test("stratified picks for a class equal the flat sample at that fraction") {
     val classed = keys.withColumn("cls", when(col("id") % 2 === 0, "a").otherwise("b"))
     val strat = classed
