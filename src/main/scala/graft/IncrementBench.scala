@@ -97,6 +97,10 @@ object IncrementBench {
     // production, so deriving it is untimed). The comparison leg is a
     // from-scratch run over the remaining conversations.
     val retractMode = sys.env.get("GRAFT_INC_RETRACT").contains("1")
+    // GRAFT_INC_NO_EDGES=1: drop the staged edge table before the timed
+    // retraction — times the re-scoring SLOW path on the identical
+    // state, for a same-protocol A/B against the edge-carve fast path
+    val dropEdges = sys.env.get("GRAFT_INC_NO_EDGES").contains("1")
     val retractConvs =
       if (retractMode)
         baseTurns.select(col("conv_id")).distinct()
@@ -111,7 +115,8 @@ object IncrementBench {
     // blocks contaminating the second's phase attribution.
     val t1 = System.nanoTime()
     val (nUpserts, incS, nClusters) = if (profile) (-1L, -1.0, -1L) else if (retractMode) {
-      val ret = Pipeline.runRetraction(retractConvs, state)
+      val ret = Pipeline.runRetraction(retractConvs,
+        if (dropEdges) state.copy(edges = None) else state)
       val ups = ret.clusterUpserts.count()
       val secs = (System.nanoTime() - t1) / 1e9
       (ups, secs, ret.clusters.count())
@@ -152,7 +157,8 @@ object IncrementBench {
       s""""speedup_vs_full":$speedup,""" +
       s""""delta_turns_per_sec":$deltaThr,""" +
       s""""upsert_rows":$nUpserts,"inc_rows":$nClusters,"full_rows":$nFull,""" +
-      s""""joined":$joined,"retract":$retractMode,"retract_convs":$nRetract,"ncpu":$cpus}"""
+      s""""joined":$joined,"retract":$retractMode,"retract_convs":$nRetract,""" +
+      s""""retract_fast":${retractMode && !dropEdges && state.edges.isDefined},"ncpu":$cpus}"""
     println(json)
 
     // GRAFT_INC_PROFILE=1: run the increment phase by phase in a clean

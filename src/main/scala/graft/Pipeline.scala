@@ -253,7 +253,18 @@ object Pipeline {
     *  - `clusters`: the previous full assignment (assemble's schema) —
     *    the increment contracts new edges onto it and emits upserts. */
   case class IncrementState(mentions: DataFrame, keyed: DataFrame,
-                            reps: DataFrame, clusters: DataFrame)
+                            reps: DataFrame, clusters: DataFrame,
+                            // optional FIFTH table: the cumulative scored
+                            // edge set (bootstrap edges + every
+                            // increment's newEdges). Costs one slim
+                            // (src,dst) append per cycle and buys
+                            // retraction a fast path: carve surviving
+                            // edges + re-derive pairs ONLY in blocks
+                            // that actually lost a member, instead of
+                            // re-scoring the whole affected region
+                            // (measured: re-scoring saturates at the
+                            // hot-cluster mass on Zipf corpora).
+                            edges: Option[DataFrame] = None)
 
   /** One incremental update's outputs. `deltaMentions`/`deltaKeyed`/
     * `deltaReps`/`newEdges` are APPEND rows for the corresponding
@@ -286,11 +297,15 @@ object Pipeline {
       val keyed = Blocking.withBlockKeys(scoringMs, cfg.lsh).localCheckpoint(true)
       val pairIds = Blocking.candidatePairs(keyed, cfg.tau, cfg.blockMaxSize,
                                             cfg.starThreshold, cfg.starK)
+      // checkpoint the scored edges BEFORE assemble so the edge table is
+      // captured without a second scoring pass (CC consumes the
+      // checkpointed frame)
       val scored = Scoring.edges(Blocking.attachPayload(pairIds, scoringMs), cfg.score)
+        .localCheckpoint(true)
       val clusters = assemble(msDf, scored, memberEdges, cfg).localCheckpoint(true)
       val reps = repsFrame(msDf, cfg).localCheckpoint(true)
       CacheTracker.drainUnpersist()
-      IncrementState(msDf, keyed, reps, clusters)
+      IncrementState(msDf, keyed, reps, clusters, Some(scored))
     }
 
   /** [[bootstrapState]] with every state table landed as a resumable
@@ -316,20 +331,23 @@ object Pipeline {
       // the in-memory bootstrap over the staged mentions is cheap to
       // re-enter on resume only when every downstream stage exists;
       // otherwise build once and stage each table
-      val names = Seq("keyed", "reps", "clusters")
+      val names = Seq("keyed", "reps", "clusters", "edges")
       if (names.forall(n => TableIO.readFingerprint(s"$root/$n").contains(fingerprint))) {
         IncrementState(
           msDf,
           TableIO.stage(spark, "keyed", s"$root/keyed", fingerprint)(sys.error("staged")),
           TableIO.stage(spark, "reps", s"$root/reps", fingerprint)(sys.error("staged")),
-          TableIO.stage(spark, "clusters", s"$root/clusters", fingerprint)(sys.error("staged")))
+          TableIO.stage(spark, "clusters", s"$root/clusters", fingerprint)(sys.error("staged")),
+          Some(TableIO.stage(spark, "edges", s"$root/edges", fingerprint)(sys.error("staged"))))
       } else {
         val built = bootstrapState(msDf.as[Mention], cfg)
         IncrementState(
           msDf,
           TableIO.stage(spark, "keyed", s"$root/keyed", fingerprint)(built.keyed),
           TableIO.stage(spark, "reps", s"$root/reps", fingerprint)(built.reps),
-          TableIO.stage(spark, "clusters", s"$root/clusters", fingerprint)(built.clusters))
+          TableIO.stage(spark, "clusters", s"$root/clusters", fingerprint)(built.clusters),
+          built.edges.map(e =>
+            TableIO.stage(spark, "edges", s"$root/edges", fingerprint)(e)))
       }
     }
 
@@ -341,13 +359,14 @@ object Pipeline {
       .unionByName(upserts)
 
   /** Roll an increment into the state for the next ingestion cycle
-    * (production: four Iceberg appends + one MERGE INTO). */
+    * (production: four-or-five Iceberg appends + one MERGE INTO). */
   def applyIncrement(state: IncrementState, inc: Increment): IncrementState =
     IncrementState(
       mentions = state.mentions.unionByName(inc.deltaMentions),
       keyed = state.keyed.unionByName(inc.deltaKeyed),
       reps = state.reps.unionByName(inc.deltaReps),
-      clusters = mergedClusters(state, inc.clusterUpserts))
+      clusters = mergedClusters(state, inc.clusterUpserts),
+      edges = state.edges.map(_.unionByName(inc.newEdges)))
 
   /** Append-only INCREMENTAL maintenance of a clustered corpus — the
     * operation a 10¹²-turn deployment actually runs every ingestion
@@ -691,10 +710,15 @@ object Pipeline {
     *     the pair set matches a from-scratch run over the remaining
     *     corpus restricted to those nodes. Payloads are carved from the
     *     base mention table by pair-id semi-join and never shuffled.
-    *     (A deployment that cannot afford re-scoring the affected region
-    *     would persist the scored edge table as a fifth state table and
-    *     carve it instead; four tables + O(affected) re-score keeps the
-    *     state surface identical to the append path.);
+    *     When the state carries the optional EDGE table
+    *     ([[IncrementState.edges]] — populated by [[bootstrapState]] and
+    *     maintained by [[applyIncrement]]), the repair takes the fast
+    *     path instead: carve the surviving affected edges (slim
+    *     anti/semi-joins, no payloads) and re-derive pairs only in DIRTY
+    *     blocks (lost a member or gained a replacement rep — O(retract)
+    *     many); clean blocks' pair sets are deterministic in their
+    *     unchanged membership, so their surviving edges are already the
+    *     from-scratch edges;
     *  5. connected components run over that O(affected) subgraph only;
     *     min-member ids survive because members still sort after their
     *     (possibly replacement) group rep.
@@ -731,7 +755,13 @@ object Pipeline {
     * retract-sized, each a checkpointable stage table. */
   private[graft] case class RetrParts(replacementReps: DataFrame,
                                       replacementKeyed: DataFrame,
-                                      upserts: DataFrame)
+                                      upserts: DataFrame,
+                                      // edges re-derived during the
+                                      // repair — the APPEND rows for the
+                                      // optional edge table (deduped
+                                      // against the surviving carve at
+                                      // assemble time)
+                                      freshEdges: DataFrame)
 
   private def retractionParts(rconvs: DataFrame, state: IncrementState,
                               cfg: Config): RetrParts = {
@@ -796,32 +826,75 @@ object Pipeline {
       .select(col("mid").as("mention_id")).distinct()
       .localCheckpoint(true)
 
-    // re-derive edges among the affected scoring nodes: full
-    // post-retraction membership of every block they touch (regimes/hubs
-    // by the block's NEW full size), pairs restricted to the region
-    val activeKeys = newKeyedAll
-      .join(scoringSurvIds.withColumnRenamed("mention_id", "mid"),
-            Seq("mid"), "left_semi")
-      .select("block_key").distinct()
-    val keyedActive = newKeyedAll
-      .join(activeKeys, Seq("block_key"), "left_semi")
-      .localCheckpoint(true)
-    val pairs = Blocking.candidatePairsDelta(keyedActive,
-        scoringSurvIds.select(col("mention_id").as("mid")),
-        cfg.tau, cfg.blockMaxSize, cfg.starThreshold, cfg.starK)
-      .join(scoringSurvIds.withColumnRenamed("mention_id", "a_id"),
-            Seq("a_id"), "left_semi")
-      .join(scoringSurvIds.withColumnRenamed("mention_id", "b_id"),
-            Seq("b_id"), "left_semi")
-      .localCheckpoint(true)
-    val pairIds = pairs.select(col("a_id").as("mention_id"))
-      .unionByName(pairs.select(col("b_id").as("mention_id"))).distinct()
-    val payloadMs = state.mentions
-      .join(pairIds, Seq("mention_id"), "left_semi")
-      .localCheckpoint(true)
-      .as[Mention]
-    val edges = Scoring.edges(Blocking.attachPayload(pairs, payloadMs), cfg.score)
-      .localCheckpoint(true)
+    // score the region-restricted pair set of the given keyed rows —
+    // shared by both edge-derivation paths below
+    def scoreRegionPairs(keyedRows: DataFrame): DataFrame = {
+      val pairs = Blocking.candidatePairsDelta(keyedRows,
+          scoringSurvIds.select(col("mention_id").as("mid")),
+          cfg.tau, cfg.blockMaxSize, cfg.starThreshold, cfg.starK)
+        .join(scoringSurvIds.withColumnRenamed("mention_id", "a_id"),
+              Seq("a_id"), "left_semi")
+        .join(scoringSurvIds.withColumnRenamed("mention_id", "b_id"),
+              Seq("b_id"), "left_semi")
+        .localCheckpoint(true)
+      val pairIds = pairs.select(col("a_id").as("mention_id"))
+        .unionByName(pairs.select(col("b_id").as("mention_id"))).distinct()
+      val payloadMs = state.mentions
+        .join(pairIds, Seq("mention_id"), "left_semi")
+        .localCheckpoint(true)
+        .as[Mention]
+      Scoring.edges(Blocking.attachPayload(pairs, payloadMs), cfg.score)
+        .localCheckpoint(true)
+    }
+
+    // edge derivation for the affected-region CC:
+    //
+    //  - WITHOUT the edge table (state.edges = None): re-derive pairs in
+    //    EVERY block an affected survivor touches (regimes/hubs by the
+    //    block's NEW full size) and re-score them. Correct, but the work
+    //    saturates at the hot-cluster mass on skewed corpora (measured:
+    //    flat ~95-117 s at 8c across retract fractions 0.003-0.1 on a
+    //    20.8M-turn Zipf corpus, vs 149 s from-scratch).
+    //  - WITH the edge table: carve the surviving edges of the affected
+    //    region (two slim anti-joins + one semi-join — no payloads, no
+    //    scoring) and re-derive pairs ONLY in DIRTY blocks — blocks that
+    //    lost a member or gained a replacement rep, O(retract) many.
+    //    Clean blocks kept their exact from-scratch pair set (same
+    //    members, same size, same hubs — deterministic), so their
+    //    surviving edges ARE the from-scratch edges; dirty blocks get
+    //    the full re-derivation (new hubs re-link orphaned spokes).
+    val (ccEdges, freshEdges) = state.edges match {
+      case Some(e) =>
+        val dirtyKeys = state.keyed
+          .join(retractIds.withColumnRenamed("mention_id", "mid"),
+                Seq("mid"), "left_semi")
+          .select("block_key")
+          .unionByName(newRepKeyed.select("block_key"))
+          .distinct()
+        val keyedDirty = newKeyedAll
+          .join(dirtyKeys, Seq("block_key"), "left_semi")
+          .localCheckpoint(true)
+        val fresh = scoreRegionPairs(keyedDirty)
+        val carvedAffected = e
+          .join(retractIds.withColumnRenamed("mention_id", "src"),
+                Seq("src"), "left_anti")
+          .join(retractIds.withColumnRenamed("mention_id", "dst"),
+                Seq("dst"), "left_anti")
+          .join(scoringSurvIds.withColumnRenamed("mention_id", "src"),
+                Seq("src"), "left_semi")
+        (carvedAffected.unionByName(fresh), fresh)
+      case None =>
+        val activeKeys = newKeyedAll
+          .join(scoringSurvIds.withColumnRenamed("mention_id", "mid"),
+                Seq("mid"), "left_semi")
+          .select("block_key").distinct()
+        val keyedActive = newKeyedAll
+          .join(activeKeys, Seq("block_key"), "left_semi")
+          .localCheckpoint(true)
+        val all = scoreRegionPairs(keyedActive)
+        (all, all)
+    }
+    val edges = ccEdges
 
     // CC over the affected subgraph; singletons coalesce to themselves.
     // Members still sort after their group rep, so component min over
@@ -851,7 +924,7 @@ object Pipeline {
       .select(metaCols.map(col) :+ col("cluster_id"): _*)
       .localCheckpoint(true)
 
-    RetrParts(replacementReps, newRepKeyed, upserts)
+    RetrParts(replacementReps, newRepKeyed, upserts, freshEdges)
   }
 
   /** Apply a retraction's artifacts: base-table carves (production:
@@ -880,7 +953,19 @@ object Pipeline {
               Seq("rep_id"), "left_anti")
         .select("norm", "resolved", "rep_id")
         .unionByName(parts.replacementReps.select("norm", "resolved", "rep_id")),
-      clusters = newClusters)
+      clusters = newClusters,
+      // edge-table maintenance: DELETE edges touching a retracted
+      // mention, APPEND repair edges not already present (the fresh side
+      // is retract-sized, so the dedupe anti-join broadcasts)
+      edges = state.edges.map { e =>
+        val surviving = e
+          .join(retractIds.withColumnRenamed("mention_id", "src"),
+                Seq("src"), "left_anti")
+          .join(retractIds.withColumnRenamed("mention_id", "dst"),
+                Seq("dst"), "left_anti")
+        surviving.unionByName(
+          parts.freshEdges.join(surviving, Seq("src", "dst"), "left_anti"))
+      })
     Retraction(parts.upserts, newClusters, newState)
   }
 
@@ -902,7 +987,8 @@ object Pipeline {
         .localCheckpoint(true)
       // parts are EAGER — only compute when some stage is missing
       // (mirrors runIncrementalCheckpointed's staging discipline)
-      val stages = Seq("retract_reps", "retract_keyed", "retract_upserts")
+      val stages = Seq("retract_reps", "retract_keyed", "retract_upserts",
+                       "retract_edges")
       lazy val parts = retractionParts(rconvs, state, cfg)
       if (!stages.forall(n =>
             TableIO.readFingerprint(s"$root/$n").contains(fingerprint))) {
@@ -914,7 +1000,9 @@ object Pipeline {
         replacementKeyed = TableIO.stage(spark, "retract_keyed",
           s"$root/retract_keyed", fingerprint) { parts.replacementKeyed },
         upserts = TableIO.stage(spark, "retract_upserts",
-          s"$root/retract_upserts", fingerprint) { parts.upserts })
+          s"$root/retract_upserts", fingerprint) { parts.upserts },
+        freshEdges = TableIO.stage(spark, "retract_edges",
+          s"$root/retract_edges", fingerprint) { parts.freshEdges })
       val out = retractionAssemble(rconvs, staged, state)
       CacheTracker.drainUnpersist()
       out

@@ -127,6 +127,51 @@ class RetractionSpec extends SparkSpec {
     assert(assign(inc.clusters) == assign(Pipeline.run(finalTurns, dict, vecs)))
   }
 
+  test("edge-table fast path == re-scoring slow path == from-scratch") {
+    val retract = convs.zipWithIndex.collect { case (c, i) if i % 3 == 0 => c }
+    val state = stateOf(turns.as[Turn])
+    assert(state.edges.isDefined, "bootstrapState must capture the edge table")
+    val fast = Pipeline.runRetraction(retract.toDF("conv_id"), state)
+    val slow = Pipeline.runRetraction(retract.toDF("conv_id"),
+                                      state.copy(edges = None))
+    val remaining = turns.where(!col("conv_id").isInCollection(retract)).as[Turn]
+    val scratch = assign(Pipeline.run(remaining, dict, vecs))
+    assert(assign(fast.clusters) == scratch)
+    assert(assign(slow.clusters) == scratch)
+    assert(fast.newState.edges.isDefined)
+    assert(slow.newState.edges.isEmpty)
+  }
+
+  test("star-regime hub retraction: orphaned spokes re-link via the new hub (both paths)") {
+    // 6 same-norm mentions in one block; forced star regime (hub-spoke
+    // pairs only). Retracting the hub's conversation must NOT split the
+    // cluster — repair re-derives the block with a NEW hub.
+    val starCfg = Pipeline.Config(tau = 2, starThreshold = 4, starK = 1)
+    val ms = (1 to 6).map(i => bridgeMention(f"c$i%02d", Seq("e1" -> 1.0)))
+    val state = Pipeline.bootstrapState(ms.toDS(), starCfg)
+    assert(assign(state.clusters).values.toSet.size == 1, "precondition: one star cluster")
+
+    val scratch = assign(Pipeline.bootstrapState(ms.tail.toDS(), starCfg).clusters)
+    assert(scratch.values.toSet == Set("c02:000000:000000"),
+      "from-scratch over the survivors re-links them via a new hub")
+    val fast = Pipeline.runRetraction(Seq("c01").toDF("conv_id"), state, starCfg)
+    val slow = Pipeline.runRetraction(Seq("c01").toDF("conv_id"),
+                                      state.copy(edges = None), starCfg)
+    assert(assign(fast.clusters) == scratch)
+    assert(assign(slow.clusters) == scratch)
+  }
+
+  test("chained retractions maintain the edge table: second retract still == from-scratch") {
+    val r1 = convs.zipWithIndex.collect { case (c, i) if i % 5 == 0 => c }
+    val r2 = convs.zipWithIndex.collect { case (c, i) if i % 5 == 1 => c }
+    val state = stateOf(turns.as[Turn])
+    val ret1 = Pipeline.runRetraction(r1.toDF("conv_id"), state)
+    val ret2 = Pipeline.runRetraction(r2.toDF("conv_id"), ret1.newState)
+    val remaining = turns
+      .where(!col("conv_id").isInCollection(r1 ++ r2)).as[Turn]
+    assert(assign(ret2.clusters) == assign(Pipeline.run(remaining, dict, vecs)))
+  }
+
   test("checkpointed retraction: staged rerun reproduces the clustering and from-scratch") {
     val root = java.nio.file.Files.createTempDirectory("graft-retr").toString
     val retract = convs.zipWithIndex.collect { case (c, i) if i % 6 == 0 => c }
@@ -140,7 +185,8 @@ class RetractionSpec extends SparkSpec {
     assert(assign(r2.clusters) == assign(r1.clusters))
     val remaining = turns.where(!col("conv_id").isInCollection(retract)).as[Turn]
     assert(assign(r1.clusters) == assign(Pipeline.run(remaining, dict, vecs)))
-    Seq("retract_reps", "retract_keyed", "retract_upserts").foreach { s =>
+    Seq("retract_reps", "retract_keyed", "retract_upserts",
+        "retract_edges").foreach { s =>
       assert(sources.TableIO.readFingerprint(s"$root/$s").contains("retr:v1"),
         s"stage $s not staged with the run fingerprint")
     }
