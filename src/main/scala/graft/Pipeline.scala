@@ -368,6 +368,55 @@ object Pipeline {
       clusters = mergedClusters(state, inc.clusterUpserts),
       edges = state.edges.map(_.unionByName(inc.newEdges)))
 
+  /** Periodic STATE COMPACTION: rewrite the append-accumulated state
+    * tables into bucketed, in-bucket-sorted layouts keyed by each
+    * table's hot join column, returning a state whose frames read from
+    * the compacted tables.
+    *
+    * Why this is the 100-TB follow-on to the O(delta) increment: the
+    * increment's carves keep the DELTA side slim, but two base-side
+    * joins remain whose big side is the corpus itself —
+    *
+    *  - the scoring-payload attach (`Blocking.attachPayload` probing
+    *    `state.mentions` by pair id): once the cycle's pair-id set
+    *    exceeds the broadcast guard, a shuffled join re-exchanges the
+    *    payload table — the single largest table in the system — every
+    *    cycle;
+    *  - the merged-view anti-join (`mergedClusters` probing
+    *    `state.clusters` by mention_id) with a large upsert batch.
+    *
+    * Bucketing `mentions`/`clusters`/`edges` by their join keys pre-pays
+    * that Exchange once at compaction time: a sort-merge join against a
+    * bucketed table shuffles ONLY the probe side (plan-gated in
+    * CompactionSpec), so the corpus-sized side never crosses the wire
+    * again no matter how many cycles run before the next compaction.
+    * `keyed` buckets by `block_key` (the active-block gather key), and
+    * `reps` by its rep-carve key. Appends between compactions union
+    * plain delta frames on top — reads stay correct, the zero-exchange
+    * property degrades gracefully to "exchange the (small) un-compacted
+    * tail", and the next compaction folds the tail in. Production: the
+    * same layout is an Iceberg `bucket(N, key)` partition transform and
+    * compaction is `rewrite_data_files`; here the catalog-backed
+    * bucketed write is the sandbox analogue (TableIO.writeBucketed).
+    *
+    * Output equality (increment and retraction over a compacted state ==
+    * over the original) is spec-gated; table contents are preserved
+    * row-for-row. */
+  def compactState(state: IncrementState, root: String, buckets: Int = 32,
+                   label: String = "state"): IncrementState = {
+    val spark = state.mentions.sparkSession
+    val app = spark.sparkContext.applicationId.replaceAll("[^a-zA-Z0-9_]", "_")
+    def write(df: DataFrame, n: String, key: String) =
+      sources.TableIO.writeBucketed(df, s"graft_${label}_${n}_$app",
+                                    s"$root/$n", Seq(key), buckets)
+    IncrementState(
+      mentions = write(state.mentions, "mentions", "mention_id"),
+      keyed = write(state.keyed, "keyed", "block_key"),
+      reps = write(state.reps, "reps", "rep_id"),
+      clusters = write(state.clusters, "clusters", "mention_id"),
+      edges = state.edges.map(e => write(e, "edges", "src")))
+  }
+
   /** Append-only INCREMENTAL maintenance of a clustered corpus — the
     * operation a 10¹²-turn deployment actually runs every ingestion
     * cycle: `newTurns` arrive and the update must cost O(delta) COMPUTE
@@ -763,7 +812,7 @@ object Pipeline {
                                       // assemble time)
                                       freshEdges: DataFrame)
 
-  private def retractionParts(rconvs: DataFrame, state: IncrementState,
+  private[graft] def retractionParts(rconvs: DataFrame, state: IncrementState,
                               cfg: Config): RetrParts = {
     val spark = state.clusters.sparkSession
     import spark.implicits._
@@ -857,18 +906,65 @@ object Pipeline {
     //    20.8M-turn Zipf corpus, vs 149 s from-scratch).
     //  - WITH the edge table: carve the surviving edges of the affected
     //    region (two slim anti-joins + one semi-join — no payloads, no
-    //    scoring) and re-derive pairs ONLY in DIRTY blocks — blocks that
-    //    lost a member or gained a replacement rep, O(retract) many.
-    //    Clean blocks kept their exact from-scratch pair set (same
-    //    members, same size, same hubs — deterministic), so their
-    //    surviving edges ARE the from-scratch edges; dirty blocks get
-    //    the full re-derivation (new hubs re-link orphaned spokes).
+    //    scoring) and re-derive pairs ONLY in DIRTY blocks. Scoring is a
+    //    pure function of the two payloads, so a block whose from-scratch
+    //    pair set over the survivors is a SUBSET of its old pair set
+    //    needs no re-scoring at all — subtraction of retracted-touching
+    //    edges is exact. Per regime (Blocking.candidatePairs):
+    //      cold/triangle — both emit the FULL pair set of the block, and
+    //        shrinking n only moves between these two regimes ⇒ NEVER
+    //        dirty;
+    //      star — pairs are members × the starK min-id hubs, and
+    //        removing non-hub members keeps the min-K set identical ⇒
+    //        dirty only if a hub was retracted, or the block fell
+    //        through starThreshold (the triangle regime wants full pairs
+    //        the star never scored);
+    //      oversized — dropped from pairing ⇒ dirty only if the
+    //        retraction brought it back under blockMaxSize;
+    //      any block that GAINED a replacement rep ⇒ dirty.
+    //    On a Zipf corpus this is the whole game: every retraction
+    //    touches the hot star blocks, but their hubs survive with
+    //    probability ≈ 1 − retract_frac, so the saturating hub-spoke
+    //    re-score (measured flat 93–117 s on 20.8M turns regardless of
+    //    retract size — BENCH.md Round 5) almost never re-runs. The
+    //    naive "lost a member ⇒ dirty" criterion was measured SLOWER
+    //    than the no-edge-table path (140.9 s vs ~117 s at frac 0.003):
+    //    it re-derived exactly the hot blocks the carve was meant to
+    //    skip, and paid the carve on top.
     val (ccEdges, freshEdges) = state.edges match {
       case Some(e) =>
-        val dirtyKeys = state.keyed
+        val touchedKeys = state.keyed
           .join(retractIds.withColumnRenamed("mention_id", "mid"),
                 Seq("mid"), "left_semi")
+          .select("block_key").distinct()
+        // old membership of touched blocks — slim (block_key, mid) rows,
+        // scanned twice (size/loss counts + star hubs), never payloads
+        val oldRows = state.keyed
+          .join(touchedKeys, Seq("block_key"), "left_semi")
+          .localCheckpoint(true)
+        val nCounts = oldRows.groupBy("block_key").agg(count(lit(1)).as("n"))
+        val rCounts = oldRows
+          .join(retractIds.withColumnRenamed("mention_id", "mid"),
+                Seq("mid"), "left_semi")
+          .groupBy("block_key").agg(count(lit(1)).as("r"))
+        val stats = nCounts.join(rCounts, Seq("block_key"))
+        val regimeDirty = stats.where(
+            (col("n") > cfg.blockMaxSize &&
+             col("n") - col("r") <= cfg.blockMaxSize) ||
+            (col("n") > cfg.starThreshold && col("n") <= cfg.blockMaxSize &&
+             col("n") - col("r") <= cfg.starThreshold))
           .select("block_key")
+        val starKeys = stats
+          .where(col("n") > cfg.starThreshold && col("n") <= cfg.blockMaxSize)
+          .select("block_key")
+        val hubDirty = Blocking.starHubs(
+            oldRows.join(starKeys, Seq("block_key"), "left_semi")
+              .select("block_key", "mid"), cfg.starK)
+          .join(retractIds.withColumnRenamed("mention_id", "hub_id"),
+                Seq("hub_id"), "left_semi")
+          .select("block_key").distinct()
+        val dirtyKeys = regimeDirty
+          .unionByName(hubDirty)
           .unionByName(newRepKeyed.select("block_key"))
           .distinct()
         val keyedDirty = newKeyedAll

@@ -803,6 +803,33 @@ object SparkEntry {
                 col("r.top_bigram_share").as("top_bigram_share"),
                 col("r.distinct_ratio").as("distinct_ratio"))
         .orderBy("doc_id")),
+
+    // STATE COMPACTION: q48's bootstrap state rewritten into bucketed
+    // tables (mentions/clusters by mention_id, keyed by block_key, edges
+    // by src — Pipeline.compactState) before the increment runs over it.
+    // Output must be IDENTICAL to q48: compaction is a pure physical-
+    // layout rewrite; the bucketed base side is what stops the payload
+    // attach and merged-view joins re-shuffling the corpus every cycle
+    // at scale (plan-gated in CompactionSpec).
+    "q59_compacted_increment" -> ((s, dir) => {
+      import s.implicits._
+      val turns = QueryLib.turnsDs(s, dir)
+      val isBase = col("conv_id") < lit("src2")
+      val dictBc = s.sparkContext.broadcast(QueryLib.bigramDict)
+      val vecsBc = s.sparkContext.broadcast(Map.empty[String, Array[Float]])
+      val state = Pipeline.bootstrapState(Pipeline.allMentions(
+        turns.where(isBase).as[Turn], dictBc, vecsBc))
+      val root = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_q59_compact_${s.sparkContext.applicationId}").getAbsolutePath
+      val compacted = Pipeline.compactState(state, root, buckets = 4,
+                                            label = "q59")
+      val inc = Pipeline.runIncremental(
+        turns.where(!isBase).as[Turn],
+        QueryLib.bigramDict, Map.empty, compacted)
+      inc.clusters
+        .select(col("mention_id"), col("cluster_id"), col("norm").as("bg"))
+        .orderBy("mention_id")
+    }),
   )
 
   /** Doc-similarity edges: same conversation (source), turn distance ≤ 3,
@@ -1613,5 +1640,13 @@ object SparkEntry {
         |LEFT JOIN u USING (doc_id) LEFT JOIN b USING (doc_id)
         |LEFT JOIN dr USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
+
+    // compaction is a physical rewrite: the logical result is q48's
+    "q59_compacted_increment" ->
+      s"""WITH ${QueryLib.allMentionsSql}
+         |SELECT printf('%s:%06d:%06d', conv_id, turn_idx, bpos) AS mention_id,
+         |       min(printf('%s:%06d:%06d', conv_id, turn_idx, bpos)) OVER (PARTITION BY bg) AS cluster_id,
+         |       bg
+         |FROM allm ORDER BY mention_id""".stripMargin,
   )
 }

@@ -166,7 +166,7 @@ object Blocking {
   /** K smallest ids per giant block via the partial-aggregating TopKAgg
     * (equal scores → payload-asc = min-K); no collect_list, so a block
     * with 10^8 members still only ships K rows per partition. */
-  private def starHubs(giant: DataFrame, starK: Int): DataFrame = {
+  private[graft] def starHubs(giant: DataFrame, starK: Int): DataFrame = {
     val spark = giant.sparkSession
     import spark.implicits._
     val minK = new graft.functions.TopKAgg(starK).toColumn

@@ -54,6 +54,23 @@ class StreamingMaintain(dict: Map[String, DictEntry],
     }
   }
 
+  /** Apply one batch of FORGET requests (conversation ids) — the
+    * streaming right-to-be-forgotten path, symmetric to [[applyBatch]]:
+    * each micro-batch of retraction requests runs ONE
+    * [[Pipeline.runRetraction]] repair (O(affected-cluster) work, the
+    * edge-table fast path when the state carries it) and rolls the
+    * carved state forward. Appends only MERGE clusters and retractions
+    * only SPLIT them, so interleaving the two streams converges to the
+    * from-scratch clustering over (ingested − forgotten) regardless of
+    * arrival order — gated in StreamingMaintainSpec. */
+  def applyRetractBatch(rconvs: Dataset[String]): Unit = synchronized {
+    if (!rconvs.isEmpty) {
+      val ret = Pipeline.runRetraction(rconvs.toDF("conv_id"), current, cfg)
+      current = ret.newState.copy(
+        clusters = ret.newState.clusters.localCheckpoint(true))
+    }
+  }
+
   /** Start maintaining from an append stream of turns. */
   def start(turns: Dataset[Turn],
             trigger: Trigger = Trigger.ProcessingTime(0L)): StreamingQuery =
@@ -61,5 +78,17 @@ class StreamingMaintain(dict: Map[String, DictEntry],
       .outputMode("update")
       .trigger(trigger)
       .foreachBatch { (batch: Dataset[Turn], _: Long) => applyBatch(batch) }
+      .start()
+
+  /** Start consuming a stream of forget requests (conversation ids).
+    * Runs against the same synchronized state as [[start]], so an
+    * ingestion stream and a retraction stream can maintain one corpus
+    * concurrently (micro-batches serialize on the state lock). */
+  def startRetractions(rconvs: Dataset[String],
+                       trigger: Trigger = Trigger.ProcessingTime(0L)): StreamingQuery =
+    rconvs.writeStream
+      .outputMode("update")
+      .trigger(trigger)
+      .foreachBatch { (batch: Dataset[String], _: Long) => applyRetractBatch(batch) }
       .start()
 }

@@ -161,6 +161,28 @@ class RetractionSpec extends SparkSpec {
     assert(assign(slow.clusters) == scratch)
   }
 
+  test("spoke retraction of a star block re-derives ZERO fresh edges (clean-block carve)") {
+    // 6 same-norm mentions, forced star regime, hub = min id c01.
+    // Retracting a NON-hub spoke leaves every block clean (hubs retained,
+    // still star-sized): the repair must be pure edge subtraction — no
+    // pair re-derivation, no re-scoring at all.
+    val starCfg = Pipeline.Config(tau = 2, starThreshold = 4, starK = 1)
+    val ms = (1 to 6).map(i => bridgeMention(f"c$i%02d", Seq("e1" -> 1.0)))
+    val state = Pipeline.bootstrapState(ms.toDS(), starCfg)
+    val parts = Pipeline.retractionParts(Seq("c05").toDF("conv_id"), state, starCfg)
+    assert(parts.freshEdges.isEmpty,
+      "no hub left and the regime held — nothing may be re-scored")
+
+    val survivors = ms.zipWithIndex.collect { case (m, i) if i != 4 => m }
+    val scratchState = Pipeline.bootstrapState(survivors.toDS(), starCfg)
+    val ret = Pipeline.runRetraction(Seq("c05").toDF("conv_id"), state, starCfg)
+    assert(assign(ret.clusters) == assign(scratchState.clusters))
+    // the maintained edge table equals the from-scratch edge set exactly
+    def edgeSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("src", "dst").as[(String, String)].collect().toSet
+    assert(edgeSet(ret.newState.edges.get) == edgeSet(scratchState.edges.get))
+  }
+
   test("chained retractions maintain the edge table: second retract still == from-scratch") {
     val r1 = convs.zipWithIndex.collect { case (c, i) if i % 5 == 0 => c }
     val r2 = convs.zipWithIndex.collect { case (c, i) if i % 5 == 1 => c }

@@ -81,6 +81,38 @@ class StreamingMaintainSpec extends SparkSpec {
     assert(assign(maintain.state.clusters) == assign(full))
   }
 
+  test("interleaved ingest + forget streams == from-scratch over (ingested - forgotten)") {
+    implicit val sqlCtx = spark.sqlContext
+    val (baseC, rest) = convs.splitAt(convs.length / 2)
+    val (b1, b2) = rest.splitAt(rest.length / 2)
+    // forget a slice of the BASE while b1/b2 are still arriving, plus a
+    // slice of b1 after it landed — both orders must converge
+    val forget1 = baseC.zipWithIndex.collect { case (c, i) if i % 5 == 0 => c }
+    val forget2 = b1.zipWithIndex.collect { case (c, i) if i % 4 == 0 => c }
+    val state0 = Pipeline.bootstrapState(
+      Pipeline.allMentions(
+        turns.where(col("conv_id").isInCollection(baseC)).as[Turn], dictBc, vecsBc))
+    val maintain = new StreamingMaintain(dict, vecs, state0)
+
+    val turnsIn = MemoryStream[Turn]
+    val forgetIn = MemoryStream[String]
+    val qi = maintain.start(turnsIn.toDS())
+    val qr = maintain.startRetractions(forgetIn.toDS())
+    try {
+      forgetIn.addData(forget1); qr.processAllAvailable()
+      turnsIn.addData(slice(b1)); qi.processAllAvailable()
+      forgetIn.addData(forget2); qr.processAllAvailable()
+      turnsIn.addData(slice(b2)); qi.processAllAvailable()
+    } finally { qi.stop(); qr.stop() }
+
+    val forgotten = (forget1 ++ forget2).toSet
+    val remaining = turns.where(!col("conv_id").isInCollection(forgotten)).as[Turn]
+    assert(assign(maintain.state.clusters) ==
+           assign(Pipeline.run(remaining, dict, vecs)))
+    assert(maintain.state.mentions
+      .where(col("conv_id").isInCollection(forgotten)).isEmpty)
+  }
+
   test("maintaining from NOTHING (empty bootstrap) converges to from-scratch") {
     val empty = Pipeline.bootstrapState(spark.emptyDataset[graft.model.Mention])
     val maintain = new StreamingMaintain(dict, vecs, empty)
