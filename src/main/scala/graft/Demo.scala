@@ -95,7 +95,13 @@ object Demo {
       // verify the repaired clustering equals a from-scratch run over the
       // remaining turns — affected clusters split/re-min, nothing else
       // moves
-      val nextState = Pipeline.applyIncrement(state, inc)
+      // COMPACT the rolled state before the retraction — the periodic
+      // physical rewrite a deployment schedules between cycles: every
+      // state table lands bucketed on its hot join key, so downstream
+      // base-side joins exchange only their probe side
+      // (Pipeline.compactState; plan-gated in CompactionSpec)
+      val nextState = Pipeline.compactState(
+        Pipeline.applyIncrement(state, inc), "target/demo/compacted")
       val retract = turns.select("conv_id").distinct()
         .where(graft.operators.Sampling.hashSample(col("conv_id"), 0.1, "demo-retract"))
       val ret = Pipeline.runRetraction(retract, nextState,

@@ -161,9 +161,25 @@ object IncrementBench {
       s""""retract_fast":${retractMode && !dropEdges && state.edges.isDefined},"ncpu":$cpus}"""
     println(json)
 
+    // GRAFT_INC_PROFILE=1 + GRAFT_INC_RETRACT=1: attribute the retraction
+    // repair wall via Pipeline.PhaseTimer (each stage ends in an eager
+    // localCheckpoint, so per-stage walls are real compute)
+    if (profile && retractMode) {
+      val phases = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+      Pipeline.PhaseTimer.sink = Some((n, s) => phases.synchronized { phases += ((n, s)) })
+      val tr = System.nanoTime()
+      val ret = Pipeline.runRetraction(retractConvs,
+        if (dropEdges) state.copy(edges = None) else state)
+      val ups = ret.clusterUpserts.count()
+      val wall = (System.nanoTime() - tr) / 1e9
+      Pipeline.PhaseTimer.sink = None
+      val body = phases.map { case (n, s) => s""""$n":$s""" }.mkString(",")
+      println(s"""{"metric":"retraction_profile","wall_s":$wall,""" +
+        s""""upsert_rows":$ups,"fast":${!dropEdges && state.edges.isDefined},$body}""")
+    }
     // GRAFT_INC_PROFILE=1: run the increment phase by phase in a clean
     // JVM (the headline run is skipped) and report where the wall goes
-    if (profile) {
+    else if (profile) {
       def timed[A](body: => A): (A, Double) = {
         val t = System.nanoTime(); val a = body; (a, (System.nanoTime() - t) / 1e9)
       }

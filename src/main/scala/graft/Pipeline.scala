@@ -800,6 +800,25 @@ object Pipeline {
     out
   }
 
+  /** Opt-in wall-clock attribution for maintenance internals: when a
+    * sink is installed (IncrementBench profile mode), stages wrapped in
+    * [[PhaseTimer.timed]] report their wall seconds. The stages below
+    * each end in an EAGER localCheckpoint, so the measured wall is the
+    * stage's real compute, not lazy-plan bleed into a later stage. Never
+    * installed in production paths — a None sink is a virtual call and
+    * nothing else. */
+  private[graft] object PhaseTimer {
+    @volatile var sink: Option[(String, Double) => Unit] = None
+    def timed[A](name: String)(body: => A): A = sink match {
+      case Some(f) =>
+        val t0 = System.nanoTime()
+        val a = body
+        f(name, (System.nanoTime() - t0) / 1e9)
+        a
+      case None => body
+    }
+  }
+
   /** The retraction's three affected-region artifacts — each
     * retract-sized, each a checkpointable stage table. */
   private[graft] case class RetrParts(replacementReps: DataFrame,
@@ -818,35 +837,43 @@ object Pipeline {
     import spark.implicits._
 
     val slimClusters = state.clusters.select("mention_id", "conv_id", "cluster_id")
-    val retracted = slimClusters.join(rconvs, Seq("conv_id"), "left_semi")
-      .select("mention_id", "cluster_id").localCheckpoint(true)
+    val retracted = PhaseTimer.timed("retracted_carve") {
+      slimClusters.join(rconvs, Seq("conv_id"), "left_semi")
+        .select("mention_id", "cluster_id").localCheckpoint(true)
+    }
     val retractIds = retracted.select("mention_id")
     val affectedCids = retracted.select("cluster_id").distinct()
 
     // survivors of affected clusters (meta + old assignment)
-    val surv = state.clusters
-      .join(affectedCids, Seq("cluster_id"), "left_semi")
-      .join(rconvs, Seq("conv_id"), "left_anti")
-      .localCheckpoint(true)
+    val surv = PhaseTimer.timed("surv_carve") {
+      state.clusters
+        .join(affectedCids, Seq("cluster_id"), "left_semi")
+        .join(rconvs, Seq("conv_id"), "left_anti")
+        .localCheckpoint(true)
+    }
     val survIds = surv.select("mention_id")
 
     // supernode repair: groups whose representative was retracted re-mint
     // rep = min over eligible survivors (== from-scratch group-min)
     val isEligible = if (cfg.supernode) eligibleCond(cfg) else lit(false)
-    val survMeta = state.mentions
-      .join(survIds, Seq("mention_id"), "left_semi")
-      .select(col("mention_id"), col("norm"), col("resolved"),
-              col("resolvedScore"))
-      .localCheckpoint(true)
+    val survMeta = PhaseTimer.timed("surv_meta_carve") {
+      state.mentions
+        .join(survIds, Seq("mention_id"), "left_semi")
+        .select(col("mention_id"), col("norm"), col("resolved"),
+                col("resolvedScore"))
+        .localCheckpoint(true)
+    }
     val brokenGroups = state.reps
       .join(retractIds.withColumnRenamed("mention_id", "rep_id"),
             Seq("rep_id"), "left_semi")
       .select("norm", "resolved")
-    val replacementReps = survMeta.where(isEligible)
-      .join(brokenGroups, Seq("norm", "resolved"), "left_semi")
-      .groupBy("norm", "resolved")
-      .agg(min("mention_id").as("rep_id"))
-      .localCheckpoint(true)
+    val replacementReps = PhaseTimer.timed("rep_repair") {
+      survMeta.where(isEligible)
+        .join(brokenGroups, Seq("norm", "resolved"), "left_semi")
+        .groupBy("norm", "resolved")
+        .agg(min("mention_id").as("rep_id"))
+        .localCheckpoint(true)
+    }
     val newRepsTable = state.reps
       .join(brokenGroups, Seq("norm", "resolved"), "left_anti")
       .unionByName(replacementReps.select("norm", "resolved", "rep_id"))
@@ -856,8 +883,10 @@ object Pipeline {
     val replacementRepIds = replacementReps.select(col("rep_id").as("mention_id"))
     val newRepMs = state.mentions
       .join(replacementRepIds, Seq("mention_id"), "left_semi").as[Mention]
-    val newRepKeyed = Blocking.withBlockKeys(newRepMs, cfg.lsh)
-      .localCheckpoint(true)
+    val newRepKeyed = PhaseTimer.timed("rep_keying") {
+      Blocking.withBlockKeys(newRepMs, cfg.lsh)
+        .localCheckpoint(true)
+    }
     // deliberately LAZY (never localCheckpointed): this is the whole
     // post-retraction keyed table — production reads it after the
     // DELETE; materializing it here would be an O(corpus) copy. The
@@ -870,10 +899,12 @@ object Pipeline {
 
     // scoring nodes of the affected region: surviving old scoring
     // mentions (they have keyed rows) + replacement reps
-    val scoringSurvIds = newKeyedAll
-      .join(survIds.withColumnRenamed("mention_id", "mid"), Seq("mid"), "left_semi")
-      .select(col("mid").as("mention_id")).distinct()
-      .localCheckpoint(true)
+    val scoringSurvIds = PhaseTimer.timed("scoring_surv_ids") {
+      newKeyedAll
+        .join(survIds.withColumnRenamed("mention_id", "mid"), Seq("mid"), "left_semi")
+        .select(col("mid").as("mention_id")).distinct()
+        .localCheckpoint(true)
+    }
 
     // score the region-restricted pair set of the given keyed rows —
     // shared by both edge-derivation paths below
@@ -933,33 +964,39 @@ object Pipeline {
     //    skip, and paid the carve on top.
     val (ccEdges, freshEdges) = state.edges match {
       case Some(e) =>
-        val touchedKeys = state.keyed
-          .join(retractIds.withColumnRenamed("mention_id", "mid"),
-                Seq("mid"), "left_semi")
-          .select("block_key").distinct()
-        // old membership of touched blocks — slim (block_key, mid) rows,
-        // scanned twice (size/loss counts + star hubs), never payloads
-        val oldRows = state.keyed
-          .join(touchedKeys, Seq("block_key"), "left_semi")
-          .localCheckpoint(true)
-        val nCounts = oldRows.groupBy("block_key").agg(count(lit(1)).as("n"))
-        val rCounts = oldRows
+        // Block stats WITHOUT materializing membership (a first cut
+        // localCheckpointed the touched blocks' keyed rows and measured
+        // SLOWER than the whole re-scoring slow path — on a Zipf corpus
+        // the touched membership is most of the keyed table):
+        //  - r (members lost) per block: broadcast semi-join on the
+        //    retract-id set, then a map-side-partial count — slim;
+        //  - n (old size) per block: one full slim aggregation of the
+        //    keyed table, inner-joined to r so only touched blocks
+        //    survive (the full agg's shuffle carries per-partition
+        //    partial counts, never membership).
+        val rCounts = state.keyed
           .join(retractIds.withColumnRenamed("mention_id", "mid"),
                 Seq("mid"), "left_semi")
           .groupBy("block_key").agg(count(lit(1)).as("r"))
-        val stats = nCounts.join(rCounts, Seq("block_key"))
+        val nCounts = state.keyed.groupBy("block_key").agg(count(lit(1)).as("n"))
+        val stats = PhaseTimer.timed("dirty_stats") {
+          nCounts.join(rCounts, Seq("block_key")).localCheckpoint(true)
+        }
         val regimeDirty = stats.where(
             (col("n") > cfg.blockMaxSize &&
              col("n") - col("r") <= cfg.blockMaxSize) ||
             (col("n") > cfg.starThreshold && col("n") <= cfg.blockMaxSize &&
              col("n") - col("r") <= cfg.starThreshold))
           .select("block_key")
+        // star-hub retention check: the touched star blocks are FEW
+        // (their key set broadcasts), so the hub scan is a map-only
+        // carve of the keyed table + a min-K partial aggregation
         val starKeys = stats
           .where(col("n") > cfg.starThreshold && col("n") <= cfg.blockMaxSize)
           .select("block_key")
         val hubDirty = Blocking.starHubs(
-            oldRows.join(starKeys, Seq("block_key"), "left_semi")
-              .select("block_key", "mid"), cfg.starK)
+            state.keyed.join(broadcast(starKeys), Seq("block_key"), "left_semi")
+              .select(col("block_key"), col("mid")), cfg.starK)
           .join(retractIds.withColumnRenamed("mention_id", "hub_id"),
                 Seq("hub_id"), "left_semi")
           .select("block_key").distinct()
@@ -967,10 +1004,14 @@ object Pipeline {
           .unionByName(hubDirty)
           .unionByName(newRepKeyed.select("block_key"))
           .distinct()
-        val keyedDirty = newKeyedAll
-          .join(dirtyKeys, Seq("block_key"), "left_semi")
-          .localCheckpoint(true)
-        val fresh = scoreRegionPairs(keyedDirty)
+        val keyedDirty = PhaseTimer.timed("dirty_classify") {
+          newKeyedAll
+            .join(dirtyKeys, Seq("block_key"), "left_semi")
+            .localCheckpoint(true)
+        }
+        val fresh = PhaseTimer.timed("fresh_scoring") {
+          scoreRegionPairs(keyedDirty)
+        }
         val carvedAffected = e
           .join(retractIds.withColumnRenamed("mention_id", "src"),
                 Seq("src"), "left_anti")
@@ -984,10 +1025,14 @@ object Pipeline {
           .join(scoringSurvIds.withColumnRenamed("mention_id", "mid"),
                 Seq("mid"), "left_semi")
           .select("block_key").distinct()
-        val keyedActive = newKeyedAll
-          .join(activeKeys, Seq("block_key"), "left_semi")
-          .localCheckpoint(true)
-        val all = scoreRegionPairs(keyedActive)
+        val keyedActive = PhaseTimer.timed("active_keys") {
+          newKeyedAll
+            .join(activeKeys, Seq("block_key"), "left_semi")
+            .localCheckpoint(true)
+        }
+        val all = PhaseTimer.timed("region_scoring") {
+          scoreRegionPairs(keyedActive)
+        }
         (all, all)
     }
     val edges = ccEdges
@@ -995,8 +1040,10 @@ object Pipeline {
     // CC over the affected subgraph; singletons coalesce to themselves.
     // Members still sort after their group rep, so component min over
     // scoring nodes is the global min — same id semantics as assemble.
-    val assign = Clustering.connectedComponents(edges, cfg.ccMaxIter)
-      .localCheckpoint(true)
+    val assign = PhaseTimer.timed("carve_cc") {
+      Clustering.connectedComponents(edges, cfg.ccMaxIter)
+        .localCheckpoint(true)
+    }
     val scoringCid = scoringSurvIds
       .join(assign.withColumnRenamed("node", "mention_id"),
             Seq("mention_id"), "left")
@@ -1008,17 +1055,21 @@ object Pipeline {
       .join(assign.withColumnRenamed("node", "rep_id"), Seq("rep_id"), "left")
       .select(col("mention_id"),
               coalesce(col("cluster_id"), col("rep_id")).as("cluster_id"))
-    val newAssign = scoringCid.unionByName(memberCid).localCheckpoint(true)
+    val newAssign = PhaseTimer.timed("assign_attach") {
+      scoringCid.unionByName(memberCid).localCheckpoint(true)
+    }
 
     // MERGE rows: surviving affected rows whose assignment changed
     val metaCols = Seq("mention_id", "conv_id", "turn_idx", "begin", "end",
                        "surface", "norm", "resolved")
-    val upserts = surv
-      .withColumnRenamed("cluster_id", "old_cid")
-      .join(newAssign, Seq("mention_id"))
-      .where(col("cluster_id") =!= col("old_cid"))
-      .select(metaCols.map(col) :+ col("cluster_id"): _*)
-      .localCheckpoint(true)
+    val upserts = PhaseTimer.timed("upserts") {
+      surv
+        .withColumnRenamed("cluster_id", "old_cid")
+        .join(newAssign, Seq("mention_id"))
+        .where(col("cluster_id") =!= col("old_cid"))
+        .select(metaCols.map(col) :+ col("cluster_id"): _*)
+        .localCheckpoint(true)
+    }
 
     RetrParts(replacementReps, newRepKeyed, upserts, freshEdges)
   }

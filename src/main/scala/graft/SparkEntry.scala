@@ -830,6 +830,25 @@ object SparkEntry {
         .select(col("mention_id"), col("cluster_id"), col("norm").as("bg"))
         .orderBy("mention_id")
     }),
+
+    // TF-IDF keyword extraction: top-5 terms per document (smoothed idf,
+    // term-asc tie-break). Slim (id, term, tf) rows after the map-side
+    // partial count are all that shuffles; exact DuckDB oracle.
+    "q60_tfidf" -> ((s, dir) =>
+      operators.TfIdf.topTerms(docs(s, dir), "doc_id", "text", k = 5)
+        .select(col("id").as("doc_id"), col("term"), col("tf"), col("df"),
+                col("tfidf"), col("rank").cast("bigint").as("rank"))
+        .orderBy("doc_id", "rank")),
+
+    // DATA PROFILING: one aggregation pass over the table computes every
+    // column's (n, nulls, distinct, min, max, mean, p50) — exact forms
+    // here for the oracle; approx_count_distinct/approx_percentile are
+    // the documented 10^12-row swap-ins (Profile Scaladoc).
+    "q61_profile" -> ((s, dir) =>
+      operators.Profile.profile(
+          docs(s, dir).select("doc_id", "lang", "n_chars"),
+          Seq("doc_id", "lang", "n_chars"))
+        .orderBy("col_name")),
   )
 
   /** Doc-similarity edges: same conversation (source), turn distance ≤ 3,
@@ -1640,6 +1659,49 @@ object SparkEntry {
         |LEFT JOIN u USING (doc_id) LEFT JOIN b USING (doc_id)
         |LEFT JOIN dr USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
+
+    "q60_tfidf" ->
+      """WITH t AS (
+        |  SELECT doc_id AS id,
+        |         unnest(regexp_extract_all(lower(text),'[a-z0-9]+')) AS term
+        |  FROM documents),
+        |tf AS (SELECT id, term, count(*) AS tf FROM t GROUP BY 1, 2),
+        |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+        |s AS (
+        |  SELECT tf.id, tf.term, tf.tf, dfq.df,
+        |         round(tf.tf * (ln((n.n_docs + 1.0) / (dfq.df + 1.0)) + 1.0), 6) AS tfidf
+        |  FROM tf JOIN dfq USING (term) CROSS JOIN n),
+        |r AS (SELECT *, row_number() OVER (
+        |        PARTITION BY id ORDER BY tfidf DESC, term ASC) AS rank FROM s)
+        |SELECT id AS doc_id, term, tf, df, tfidf, rank
+        |FROM r WHERE rank <= 5 ORDER BY doc_id, rank""".stripMargin,
+
+    "q61_profile" ->
+      """SELECT * FROM (
+        |  SELECT 'doc_id' AS col_name, count(*) AS n,
+        |         sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS n_null,
+        |         count(DISTINCT doc_id) AS n_distinct,
+        |         cast(min(doc_id) AS varchar) AS min_v,
+        |         cast(max(doc_id) AS varchar) AS max_v,
+        |         round(avg(doc_id), 6) AS mean,
+        |         round(quantile_cont(doc_id, 0.5), 6) AS p50
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'lang', count(*),
+        |         sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END),
+        |         count(DISTINCT lang),
+        |         cast(min(lang) AS varchar), cast(max(lang) AS varchar),
+        |         NULL, NULL
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'n_chars', count(*),
+        |         sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END),
+        |         count(DISTINCT n_chars),
+        |         cast(min(n_chars) AS varchar), cast(max(n_chars) AS varchar),
+        |         round(avg(n_chars), 6), round(quantile_cont(n_chars, 0.5), 6)
+        |  FROM documents)
+        |ORDER BY col_name""".stripMargin,
 
     // compaction is a physical rewrite: the logical result is q48's
     "q59_compacted_increment" ->
