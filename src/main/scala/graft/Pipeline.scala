@@ -739,11 +739,17 @@ object Pipeline {
     *  1. retracted ids and affected cluster ids come from slim scans of
     *     the clusters table filtered on the retract set — in production
     *     a partition-prunable `conv_id IN (...)` scan;
-    *  2. survivors of affected clusters are the ONLY rows whose
-    *     assignment can change: an unaffected cluster lost no members,
-    *     so its membership — and its min-member cluster id — is
-    *     untouched, and no edge can connect it to an affected survivor
-    *     (such an edge would have made them one cluster already);
+    *  2. a cluster is AFFECTED only if it lost a SCORING mention (one
+    *     with keyed rows). Removing a non-scoring spoke leaves the
+    *     scoring subgraph — hence the components — untouched, and the
+    *     cluster id survives because the component min is always a
+    *     scoring node (members sort after their group rep), so
+    *     spoke-only clusters need nothing beyond the base-table carve.
+    *     Survivors of affected clusters are then the ONLY rows whose
+    *     assignment can change: an unaffected cluster's membership and
+    *     min-member id are untouched, and no edge can connect it to an
+    *     affected survivor (such an edge would have made them one
+    *     cluster already);
     *  3. supernode repair is local by invariant: a (norm, resolved)
     *     group always lives inside one cluster (members attach to their
     *     rep's cluster), so a group that lost its representative has all
@@ -764,10 +770,12 @@ object Pipeline {
     *     maintained by [[applyIncrement]]), the repair takes the fast
     *     path instead: carve the surviving affected edges (slim
     *     anti/semi-joins, no payloads) and re-derive pairs only in DIRTY
-    *     blocks (lost a member or gained a replacement rep — O(retract)
-    *     many); clean blocks' pair sets are deterministic in their
-    *     unchanged membership, so their surviving edges are already the
-    *     from-scratch edges;
+    *     blocks under a regime-aware criterion (cold/triangle blocks
+    *     emit full pair sets so subtraction is always exact; star
+    *     blocks are dirty only on hub loss or a fall through
+    *     starThreshold; oversized only on re-entering pairing;
+    *     rep-gaining blocks always — the per-regime proof is at the
+    *     dirty-classification site below);
     *  5. connected components run over that O(affected) subgraph only;
     *     min-member ids survive because members still sort after their
     *     (possibly replacement) group rep.
@@ -842,7 +850,23 @@ object Pipeline {
         .select("mention_id", "cluster_id").localCheckpoint(true)
     }
     val retractIds = retracted.select("mention_id")
-    val affectedCids = retracted.select("cluster_id").distinct()
+    // A cluster can change ONLY if it lost a SCORING mention (one with
+    // keyed rows): non-scoring spokes hang off their supernode rep, so
+    // removing them leaves the scoring subgraph — hence the components —
+    // untouched, and the cluster id survives too because the component
+    // min is always a scoring node (members sort after their group rep).
+    // Spoke-only clusters therefore need ZERO repair beyond the base
+    // carve; on a Zipf corpus they are the overwhelming majority of
+    // clusters a random retraction touches, and dropping them here is
+    // what bounds the affected region. The scoring-id probe is a
+    // broadcast semi-join (map-only scan of the keyed table).
+    val retractedScoringIds = state.keyed
+      .join(retractIds.withColumnRenamed("mention_id", "mid"),
+            Seq("mid"), "left_semi")
+      .select(col("mid").as("mention_id")).distinct()
+    val affectedCids = retracted
+      .join(retractedScoringIds, Seq("mention_id"), "left_semi")
+      .select("cluster_id").distinct()
 
     // survivors of affected clusters (meta + old assignment)
     val surv = PhaseTimer.timed("surv_carve") {
