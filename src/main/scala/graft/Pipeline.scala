@@ -932,9 +932,9 @@ object Pipeline {
 
     // score the region-restricted pair set of the given keyed rows —
     // shared by both edge-derivation paths below
-    def scoreRegionPairs(keyedRows: DataFrame): DataFrame = {
+    def scoreRegionPairs(keyedRows: DataFrame, deltaMids: DataFrame): DataFrame = {
       val pairs = Blocking.candidatePairsDelta(keyedRows,
-          scoringSurvIds.select(col("mention_id").as("mid")),
+          deltaMids,
           cfg.tau, cfg.blockMaxSize, cfg.starThreshold, cfg.starK)
         .join(scoringSurvIds.withColumnRenamed("mention_id", "a_id"),
               Seq("a_id"), "left_semi")
@@ -1018,23 +1018,76 @@ object Pipeline {
         val starKeys = stats
           .where(col("n") > cfg.starThreshold && col("n") <= cfg.blockMaxSize)
           .select("block_key")
-        val hubDirty = Blocking.starHubs(
+        val oldHubs = Blocking.starHubs(
             state.keyed.join(broadcast(starKeys), Seq("block_key"), "left_semi")
               .select(col("block_key"), col("mid")), cfg.starK)
+          .localCheckpoint(true)
+        val hubDirty = oldHubs
           .join(retractIds.withColumnRenamed("mention_id", "hub_id"),
                 Seq("hub_id"), "left_semi")
           .select("block_key").distinct()
-        val dirtyKeys = regimeDirty
-          .unionByName(hubDirty)
+        // Two classes of dirty block, re-derived at DIFFERENT widths
+        // (profile: full-width re-derivation of rep-gaining hot blocks
+        // was 19.7 of the 53.1 s wall):
+        //  - FULL-dirty (regime changed): the from-scratch pair set has
+        //    pairs among untouched old members (star→triangle wants the
+        //    full O(n²) set; oversized re-entry starts from zero) —
+        //    re-derive everything in the block;
+        //  - DELTA-dirty (hub lost and/or replacement rep gained, regime
+        //    held): every pair the from-scratch run has and the carve
+        //    lacks touches a NEW participant — a replacement rep (its
+        //    pairs all touch it, including the all-members×rep set when
+        //    its group-min id promotes it into the hub set: the delta
+        //    pair generator derives delta-hub × all-members natively) or
+        //    a PROMOTED hub (members × new-hub pairs all touch it).
+        //    Extra retained edges to DEMOTED hubs were valid scored
+        //    edges inside one old cluster — retaining them is the
+        //    documented monotone stance (deleting data never merges).
+        // GRAFT_RETRACT_DELTA=0 collapses both classes to full-width —
+        // a measurement knob so one binary can A/B the delta
+        // restriction on identical staged state (BENCH.md Round 5)
+        val deltaEnabled = sys.env.get("GRAFT_RETRACT_DELTA").forall(_ != "0")
+        val regimeFull = regimeDirty.localCheckpoint(true)
+        val repHubDirty = hubDirty
           .unionByName(newRepKeyed.select("block_key"))
           .distinct()
-        val keyedDirty = PhaseTimer.timed("dirty_classify") {
-          newKeyedAll
-            .join(dirtyKeys, Seq("block_key"), "left_semi")
-            .localCheckpoint(true)
+          .join(regimeFull, Seq("block_key"), "left_anti")
+        val fullDirty =
+          if (deltaEnabled) regimeFull
+          else regimeFull.unionByName(repHubDirty)
+        val deltaDirty =
+          if (deltaEnabled) repHubDirty
+          else repHubDirty.limit(0)
+        val newHubs = Blocking.starHubs(
+            newKeyedAll.join(broadcast(hubDirty), Seq("block_key"), "left_semi")
+              .select(col("block_key"), col("mid")), cfg.starK)
+        val promotedMids = newHubs
+          .join(oldHubs, Seq("block_key", "hub_id"), "left_anti")
+          .select(col("hub_id").as("mid")).distinct()
+        val deltaMids = replacementRepIds
+          .select(col("mention_id").as("mid"))
+          .unionByName(promotedMids).distinct()
+          .localCheckpoint(true)
+        val (keyedFullDirty, keyedDeltaDirty) = PhaseTimer.timed("dirty_classify") {
+          (newKeyedAll.join(broadcast(fullDirty), Seq("block_key"), "left_semi")
+             .localCheckpoint(true),
+           newKeyedAll.join(broadcast(deltaDirty), Seq("block_key"), "left_semi")
+             .localCheckpoint(true))
         }
         val fresh = PhaseTimer.timed("fresh_scoring") {
-          scoreRegionPairs(keyedDirty)
+          // regime-change blocks are RARE (sizes must straddle a
+          // threshold exactly where the retraction crossed it), and
+          // with the knob off the delta side is empty — skip either
+          // pass entirely in its empty case rather than paying its
+          // fixed pair/payload/score stages
+          val sides = Seq(
+            (keyedDeltaDirty, deltaMids),
+            (keyedFullDirty, scoringSurvIds.select(col("mention_id").as("mid"))))
+            .filter { case (rows, _) => !rows.isEmpty }
+            .map { case (rows, mids) => scoreRegionPairs(rows, mids) }
+          (if (sides.isEmpty) scoreRegionPairs(keyedDeltaDirty, deltaMids)
+           else sides.reduce(_ unionByName _))
+            .localCheckpoint(true)
         }
         val carvedAffected = e
           .join(retractIds.withColumnRenamed("mention_id", "src"),
@@ -1055,7 +1108,8 @@ object Pipeline {
             .localCheckpoint(true)
         }
         val all = PhaseTimer.timed("region_scoring") {
-          scoreRegionPairs(keyedActive)
+          scoreRegionPairs(keyedActive,
+            scoringSurvIds.select(col("mention_id").as("mid")))
         }
         (all, all)
     }
