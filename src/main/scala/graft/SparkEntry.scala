@@ -849,6 +849,38 @@ object SparkEntry {
           docs(s, dir).select("doc_id", "lang", "n_chars"),
           Seq("doc_id", "lang", "n_chars"))
         .orderBy("col_name")),
+
+    // BOILERPLATE catalog: turn templates (2-token normalized prefix)
+    // recurring in ≥3 distinct conversations — the CCNet shared-paragraph
+    // criterion with conversations as the independence unit. Only
+    // (prefix, conv_id) crosses the shuffle; text never does.
+    "q62_boilerplate_catalog" -> ((s, dir) =>
+      operators.Boilerplate.catalog(transcripts(s, dir), "text", "conv_id",
+          keyTokens = 2, minConvs = 3)
+        .orderBy("prefix")),
+
+    // BOILERPLATE removal: the transcripts minus every turn keyed by a
+    // catalog template — anti-join on the slim key, AQE-broadcast when the
+    // catalog fits (it is bounded by total_convs / minConvs).
+    "q63_boilerplate_clean" -> ((s, dir) =>
+      operators.Boilerplate.clean(transcripts(s, dir), "text", "conv_id",
+          keyTokens = 2, minConvs = 3)
+        .select(col("conv_id"), col("turn_idx").cast("bigint"))
+        .orderBy("conv_id", "turn_idx")),
+
+    // SNAPSHOT DIFF: corpus-version delta between two deterministic
+    // snapshots of documents (old = doc_id%10≠0; new = doc_id%7≠0 with
+    // doc_id%5=0 texts mutated) — added/removed/changed only, unchanged
+    // majority excluded; both sides reduced to (id, md5) pre-join.
+    "q64_snapshot_diff" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      val oldSnap = d.where(col("doc_id") % 10 =!= 0)
+      val newSnap = d.where(col("doc_id") % 7 =!= 0)
+        .withColumn("text", when(col("doc_id") % 5 === 0,
+          concat(col("text"), lit(" v2"))).otherwise(col("text")))
+      operators.SnapshotDiff.diff(oldSnap, newSnap, "doc_id", "text")
+        .orderBy("id")
+    }),
   )
 
   /** Doc-similarity edges: same conversation (source), turn distance ≤ 3,
@@ -1710,5 +1742,45 @@ object SparkEntry {
          |       min(printf('%s:%06d:%06d', conv_id, turn_idx, bpos)) OVER (PARTITION BY bg) AS cluster_id,
          |       bg
          |FROM allm ORDER BY mention_id""".stripMargin,
+
+    "q62_boilerplate_catalog" ->
+      s"""WITH ${QueryLib.transcriptsSql},
+         |k AS (
+         |  SELECT conv_id, turn_idx,
+         |         array_to_string(list_slice(regexp_extract_all(lower(text), '[a-z0-9]+'), 1, 2), ' ') AS prefix
+         |  FROM tr)
+         |SELECT prefix, count(DISTINCT conv_id) AS n_convs, count(*) AS n_turns
+         |FROM k GROUP BY prefix HAVING count(DISTINCT conv_id) >= 3
+         |ORDER BY prefix""".stripMargin,
+
+    "q63_boilerplate_clean" ->
+      s"""WITH ${QueryLib.transcriptsSql},
+         |k AS (
+         |  SELECT conv_id, turn_idx,
+         |         array_to_string(list_slice(regexp_extract_all(lower(text), '[a-z0-9]+'), 1, 2), ' ') AS prefix
+         |  FROM tr),
+         |cat AS (
+         |  SELECT prefix FROM k GROUP BY prefix
+         |  HAVING count(DISTINCT conv_id) >= 3)
+         |SELECT conv_id, turn_idx FROM k
+         |WHERE prefix NOT IN (SELECT prefix FROM cat)
+         |ORDER BY conv_id, turn_idx""".stripMargin,
+
+    "q64_snapshot_diff" ->
+      """WITH o AS (
+        |  SELECT doc_id AS id, md5(text) AS old_sig
+        |  FROM documents WHERE doc_id % 10 <> 0),
+        |n AS (
+        |  SELECT doc_id AS id,
+        |         md5(CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END) AS new_sig
+        |  FROM documents WHERE doc_id % 7 <> 0)
+        |SELECT COALESCE(o.id, n.id) AS id,
+        |       CASE WHEN o.old_sig IS NULL THEN 'added'
+        |            WHEN n.new_sig IS NULL THEN 'removed'
+        |            ELSE 'changed' END AS status,
+        |       o.old_sig AS old_sig, n.new_sig AS new_sig
+        |FROM o FULL OUTER JOIN n ON o.id = n.id
+        |WHERE o.old_sig IS NULL OR n.new_sig IS NULL OR o.old_sig <> n.new_sig
+        |ORDER BY id""".stripMargin,
   )
 }
