@@ -881,6 +881,29 @@ object SparkEntry {
       operators.SnapshotDiff.diff(oldSnap, newSnap, "doc_id", "text")
         .orderBy("id")
     }),
+
+    // INCREMENTAL near-dup: the ingest delta (doc_id%5=0) paired against
+    // the base corpus and itself — never base×base. The only dedup shape
+    // that works under continuous ingestion (re-pairing the corpus every
+    // cycle is O(corpus) work for an O(delta) question).
+    "q65_neardup_delta" -> ((s, dir) => {
+      val d = docs(s, dir)
+      operators.Dedup.minhashPairsDelta(
+          d.where(col("doc_id") % 5 =!= 0), d.where(col("doc_id") % 5 === 0),
+          "doc_id", "text", threshold = 0.6)
+        .orderBy("a_id", "b_id")
+    }),
+
+    // TOKEN-BUDGET MIXTURE: each source down-sampled to a 1000-token
+    // budget via per-class md5-cell fractions — frac = min(1,
+    // budget/total_tokens) quantized to the 256-cell grid, so the whole
+    // chain (token totals -> fraction -> keep predicate) is closed-form
+    // and engine-reproducible.
+    "q66_token_mixture" -> ((s, dir) =>
+      operators.Mixture.materialize(docs(s, dir), "doc_id", "source", "text",
+          Map.empty, defaultBudget = 1000L)
+        .select(col("doc_id"), col("source"))
+        .orderBy("doc_id")),
   )
 
   /** Doc-similarity edges: same conversation (source), turn distance ≤ 3,
@@ -1782,5 +1805,44 @@ object SparkEntry {
         |FROM o FULL OUTER JOIN n ON o.id = n.id
         |WHERE o.old_sig IS NULL OR n.new_sig IS NULL OR o.old_sig <> n.new_sig
         |ORDER BY id""".stripMargin,
+
+    // q20's exact all-pairs Jaccard restricted to pairs touching the
+    // delta (doc_id%5=0) — the incremental operator's banding has the
+    // same P(miss) <= 1e-4 guarantee, so both sides are the same set.
+    "q65_neardup_delta" ->
+      """WITH t AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(lower(text),'[a-z0-9]+')) AS tok,
+        |         generate_subscripts(regexp_extract_all(lower(text),'[a-z0-9]+'),1) AS pos
+        |  FROM documents),
+        |sh AS (
+        |  SELECT a.doc_id, list_distinct(list(a.tok || ' ' || b.tok || ' ' || c.tok)) AS s
+        |  FROM t a JOIN t b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        |           JOIN t c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+        |  GROUP BY a.doc_id)
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |       round(len(list_intersect(a.s, b.s)) * 1.0 /
+        |             (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 4) AS jaccard
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |WHERE (a.doc_id % 5 = 0 OR b.doc_id % 5 = 0)
+        |  AND round(len(list_intersect(a.s, b.s)) * 1.0 /
+        |            (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 4) >= 0.6
+        |ORDER BY a_id, b_id""".stripMargin,
+
+    // Closed-form mixture replay: per-source token totals -> quantized
+    // keep fraction -> the same md5-cell predicate q45 established.
+    "q66_token_mixture" ->
+      """WITH tk AS (
+        |  SELECT doc_id, source,
+        |         len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_tok
+        |  FROM documents),
+        |fr AS (
+        |  SELECT source,
+        |         CAST(round(least(1.0, 1000.0 / sum(n_tok)) * 256) AS INT) AS cells
+        |  FROM tk GROUP BY source)
+        |SELECT t.doc_id, t.source
+        |FROM tk t JOIN fr USING (source)
+        |WHERE substr(md5(t.doc_id::VARCHAR), 1, 2) <
+        |      CASE WHEN fr.cells >= 256 THEN 'g' ELSE printf('%02x', fr.cells) END
+        |ORDER BY doc_id""".stripMargin,
   )
 }

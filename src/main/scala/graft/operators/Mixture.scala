@@ -1,0 +1,74 @@
+package graft.operators
+
+import graft.functions.TextFns
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Training-mixture materialization by TOKEN budget — the "data mixture"
+  * step between corpus curation and batch assembly: given a curated corpus
+  * with a class column (source, language, domain) and a token budget per
+  * class, down-sample each class to its budget and emit the mixed corpus.
+  * Balancing by tokens rather than documents is the point: sources differ
+  * by orders of magnitude in document length, and every published mixture
+  * recipe (The Pile, LLaMA, Gopher) states its proportions in tokens.
+  *
+  * The keep decision composes two engine-reproducible pieces:
+  * per-class token totals (one slim map-side-combinable aggregation over
+  * (class, n_tokens) — text never crosses the shuffle) and
+  * [[Sampling]]-style md5-cell predicates (a pure function of the row key,
+  * so the mixture is stable under repartitioning, AQE, and incremental
+  * re-runs, and RAISING a budget only ADDS rows — monotone growth, no
+  * reshuffling of what a previous run already picked). The per-class
+  * fraction frac_c = min(1, budget_c / total_tokens_c) is quantized to the
+  * 256-cell grid exactly as `hashSample` does, which is what makes the
+  * whole chain expressible as closed-form SQL (q66's exact DuckDB oracle).
+  *
+  * Scale shape (100 TB): the totals frame has one row per class — it
+  * broadcasts; the keep-filter is map-only column math. Sampling error vs
+  * the budget is the binomial deviation of cell sampling (~1/sqrt(cells
+  * picked)) plus the 1/256 grid quantum; both are policy noise at corpus
+  * scale, not correctness — the FRACTION is exact by construction.
+  */
+object Mixture {
+
+  /** Per-class totals and keep fractions for `budgets` (classes absent
+    * from the map get `defaultBudget`). Output: (cls, total_tokens,
+    * frac, cells) where `cells` is the quantized md5-cell bound used by
+    * [[materialize]]. */
+  def fractions(df: DataFrame, clsCol: String, textCol: String,
+                budgets: Map[String, Long],
+                defaultBudget: Long = Long.MaxValue): DataFrame = {
+    val totals = df
+      .select(col(clsCol).as("cls"),
+              size(TextFns.tokens(col(textCol))).cast("long").as("_n_tok"))
+      .groupBy("cls")
+      .agg(sum("_n_tok").as("total_tokens"))
+    val budgetExpr: Column = budgets.toSeq.sortBy(_._1) match {
+      case Seq() => lit(defaultBudget)
+      case (k0, v0) +: rest =>
+        rest.foldLeft(when(col("cls") === k0, v0)) {
+          case (e, (k, v)) => e.when(col("cls") === k, v)
+        }.otherwise(lit(defaultBudget))
+    }
+    totals
+      .withColumn("frac",
+        least(lit(1.0), budgetExpr.cast("double") / col("total_tokens")))
+      .withColumn("cells", round(col("frac") * 256, 0).cast("int"))
+  }
+
+  /** The mixed corpus: input rows (all columns preserved) down-sampled
+    * per class to its token budget via the md5-cell predicate on
+    * `keyCol`. Classes at or under budget are kept whole. */
+  def materialize(df: DataFrame, keyCol: String, clsCol: String,
+                  textCol: String, budgets: Map[String, Long],
+                  defaultBudget: Long = Long.MaxValue,
+                  seed: String = ""): DataFrame = {
+    val fr = fractions(df, clsCol, textCol, budgets, defaultBudget)
+      .select(col("cls").as("_cls"), col("cells").as("_cells"))
+    val bound = when(col("_cells") >= 256, lit("g"))
+      .otherwise(format_string("%02x", col("_cells")))
+    df.join(broadcast(fr), df(clsCol) === col("_cls"))
+      .where(Sampling.hashCell(col(keyCol), seed) < bound)
+      .select(df.columns.map(col): _*)
+  }
+}

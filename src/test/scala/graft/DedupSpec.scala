@@ -101,6 +101,33 @@ class DedupSpec extends SparkSpec {
     assert(r9 > r)
   }
 
+  test("minhashPairsDelta == full near-dup filtered to delta-touching pairs") {
+    val delta = docs.where(col("doc_id") % 5 === 0)
+    val base = docs.where(col("doc_id") % 5 =!= 0)
+    val got = Dedup.minhashPairsDelta(base, delta, "doc_id", "text", threshold = 0.6)
+      .as[(Long, Long, Double)].collect().toSet
+    val full = Dedup.minhashPairs(docs, "doc_id", "text", threshold = 0.6)
+      .as[(Long, Long, Double)].collect().toSet
+    val expect = full.filter { case (a, b, _) => a % 5 == 0 || b % 5 == 0 }
+    assert(expect.nonEmpty, "fixture must contain delta-touching near-dups")
+    assert(got == expect, s"got ${got.size}, expect ${expect.size}; " +
+      s"missed=${(expect -- got).size} extra=${(got -- expect).size}")
+  }
+
+  test("minhashPairsDelta never pairs base against base") {
+    val base = Seq((1L, "a b c d e f"), (2L, "a b c d e f"),
+                   (3L, "q w e r t y")).toDF("doc_id", "text")
+    val delta = Seq((10L, "a b c d e f z"),
+                    (11L, "unrelated words entirely different here")).toDF("doc_id", "text")
+    val got = Dedup.minhashPairsDelta(base, delta, "doc_id", "text", threshold = 0.5)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    // the base's own exact-dup pair must NOT be re-derived
+    assert(!got.contains((1L, 2L)))
+    assert(got.contains((1L, 10L)) && got.contains((2L, 10L)))
+    assert(got.forall { case (a, b) => a >= 10L || b >= 10L },
+      "every emitted pair touches the delta")
+  }
+
   test("canonicalize: transitive closure groups chains; keep = longest then min id") {
     // multi-digit ids on purpose: the group representative must be the
     // NUMERIC min (61), not the lexicographic min ("185" < "61")
