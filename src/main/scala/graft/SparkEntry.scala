@@ -904,6 +904,20 @@ object SparkEntry {
           Map.empty, defaultBudget = 1000L)
         .select(col("doc_id"), col("source"))
         .orderBy("doc_id")),
+
+    // BLOCKING QUALITY: a cheap 2-token prefix key evaluated against the
+    // exact near-dup gold (q20's pair set) — reduction ratio, pair
+    // completeness, pairs quality, computed WITHOUT materializing a
+    // single candidate pair (per-block C(n,2) counts + two slim joins
+    // onto the gold list). How a key family is chosen before paying for
+    // scoring.
+    "q67_blocking_quality" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val items = d.select(col("doc_id"),
+        operators.Boilerplate.prefixKey(col("text"), 2).as("bkey"))
+      val gold = operators.Dedup.minhashPairs(d, "doc_id", "text", threshold = 0.6)
+      operators.Blocking.qualityStats(items, "doc_id", "bkey", gold)
+    }),
   )
 
   /** Doc-similarity edges: same conversation (source), turn distance ≤ 3,
@@ -1844,5 +1858,45 @@ object SparkEntry {
         |WHERE substr(md5(t.doc_id::VARCHAR), 1, 2) <
         |      CASE WHEN fr.cells >= 256 THEN 'g' ELSE printf('%02x', fr.cells) END
         |ORDER BY doc_id""".stripMargin,
+
+    // Blocking-quality triple over closed-form pair counts: per-block
+    // C(n,2) sums (candidates never materialized), gold = q20's exact
+    // Jaccard pair set, coverage = gold pairs whose sides share the key.
+    "q67_blocking_quality" ->
+      """WITH t AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(lower(text),'[a-z0-9]+')) AS tok,
+        |         generate_subscripts(regexp_extract_all(lower(text),'[a-z0-9]+'),1) AS pos
+        |  FROM documents),
+        |sh AS (
+        |  SELECT a.doc_id, list_distinct(list(a.tok || ' ' || b.tok || ' ' || c.tok)) AS s
+        |  FROM t a JOIN t b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        |           JOIN t c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+        |  GROUP BY a.doc_id),
+        |gold AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE round(len(list_intersect(a.s, b.s)) * 1.0 /
+        |              (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 4) >= 0.6),
+        |k AS (
+        |  SELECT doc_id,
+        |         array_to_string(list_slice(regexp_extract_all(lower(text), '[a-z0-9]+'), 1, 2), ' ') AS bkey
+        |  FROM documents),
+        |pb AS (SELECT bkey, count(*) AS n FROM k GROUP BY bkey),
+        |agg1 AS (SELECT coalesce(sum(n * (n - 1) / 2), 0.0) AS n_cand_pairs,
+        |                count(*) AS n_blocks FROM pb),
+        |tot AS (SELECT count(*) AS n_items,
+        |               count(*) * (count(*) - 1) / 2 AS n_all_pairs FROM k),
+        |cov AS (
+        |  SELECT count(*) AS n_gold,
+        |         count(CASE WHEN ka.bkey = kb.bkey THEN 1 END) AS n_gold_covered
+        |  FROM gold g JOIN k ka ON g.a_id = ka.doc_id
+        |              JOIN k kb ON g.b_id = kb.doc_id)
+        |SELECT n_items, n_blocks, n_cand_pairs, n_all_pairs, n_gold, n_gold_covered,
+        |       round(1.0 - n_cand_pairs / n_all_pairs, 6) AS reduction_ratio,
+        |       round(CASE WHEN n_gold > 0 THEN n_gold_covered * 1.0 / n_gold
+        |                  ELSE 0.0 END, 6) AS pair_completeness,
+        |       round(CASE WHEN n_cand_pairs > 0 THEN n_gold_covered / n_cand_pairs
+        |                  ELSE 0.0 END, 6) AS pairs_quality
+        |FROM tot, agg1, cov""".stripMargin,
   )
 }

@@ -260,4 +260,63 @@ object Blocking {
       .where(col("L.mid") < col("R.mid"))
       .select(col("L.mid").as("a_id"), col("R.mid").as("b_id"))
       .dropDuplicates("a_id", "b_id")
+
+  /** BLOCKING-QUALITY metrics (the standard evaluation triple of the ER
+    * blocking literature — Christen, "A Survey of Indexing Techniques for
+    * Scalable Record Linkage and Deduplication", TKDE 2012): given items
+    * with ONE blocking key each and a labeled gold pair set, report in a
+    * single row
+    *   - reduction_ratio  = 1 − candidate_pairs / all_pairs  (how much of
+    *     the quadratic space the key prunes),
+    *   - pair_completeness = covered_gold / gold  (recall of the key:
+    *     gold pairs whose two sides share the key),
+    *   - pairs_quality     = covered_gold / candidate_pairs  (precision
+    *     proxy: how much of the candidate budget is true).
+    *
+    * This is how you choose a key family BEFORE paying for scoring — e.g.
+    * q67 evaluates a 2-token prefix key against the exact near-dup gold
+    * and shows what recall cheap prefix blocking would give up vs LSH.
+    *
+    * Scale shape: candidate pairs are NEVER materialized — per-block
+    * counts give Σ C(n_b, 2) in one slim aggregation (items carry only
+    * (id, key) through it), and coverage joins the key onto the gold
+    * pair list (|gold| rows, the small side) twice. Everything else is
+    * closed-form arithmetic on five counters.
+    *
+    * `items`: (idCol, keyCol), one key per item (run once per key family;
+    * a multi-key union would need inclusion–exclusion on pair counts —
+    * the pair GENERATOR dedups instead, see [[candidatePairs]]).
+    * `gold`: (a_id, b_id) labeled matches, any orientation; normalized
+    * and deduped here. Ratios rounded to 6dp (oracle-stable). */
+  def qualityStats(items: DataFrame, idCol: String, keyCol: String,
+                   gold: DataFrame): DataFrame = {
+    val keyed = items.select(col(idCol).as("_id"), col(keyCol).as("_key"))
+    val perBlock = keyed.groupBy("_key")
+      .agg(count(lit(1)).as("n"))
+      .agg(coalesce(sum(col("n") * (col("n") - 1) / 2), lit(0.0)).as("n_cand_pairs"),
+           count(lit(1)).as("n_blocks"))
+    val totals = keyed.agg(count(lit(1)).as("n_items"))
+      .withColumn("n_all_pairs", col("n_items") * (col("n_items") - 1) / 2)
+    val goldNorm = gold
+      .select(least(col("a_id"), col("b_id")).as("a_id"),
+              greatest(col("a_id"), col("b_id")).as("b_id"))
+      .dropDuplicates("a_id", "b_id")
+    val covered = goldNorm
+      .join(keyed.select(col("_id").as("a_id"), col("_key").as("_ka")), "a_id")
+      .join(keyed.select(col("_id").as("b_id"), col("_key").as("_kb")), "b_id")
+      .agg(count(lit(1)).as("n_gold"),
+           count(when(col("_ka") === col("_kb"), lit(1))).as("n_gold_covered"))
+    totals.crossJoin(perBlock).crossJoin(covered)
+      .select(
+        col("n_items"), col("n_blocks"), col("n_cand_pairs"),
+        col("n_all_pairs"), col("n_gold"), col("n_gold_covered"),
+        round(lit(1.0) - col("n_cand_pairs").cast("double") /
+          col("n_all_pairs"), 6).as("reduction_ratio"),
+        round(when(col("n_gold") > 0,
+            col("n_gold_covered").cast("double") / col("n_gold"))
+          .otherwise(0.0), 6).as("pair_completeness"),
+        round(when(col("n_cand_pairs") > 0,
+            col("n_gold_covered").cast("double") / col("n_cand_pairs"))
+          .otherwise(0.0), 6).as("pairs_quality"))
+  }
 }

@@ -140,6 +140,32 @@ class BlockingSpec extends SparkSpec {
     assert(shared.contains("ent:e"))
   }
 
+  test("qualityStats: hand-computed counters; gold orientation and dups folded") {
+    val items = Seq((1L, "a"), (2L, "a"), (3L, "a"), (4L, "b"), (5L, "b"))
+      .toDF("id", "key")
+    // (2,1) duplicates (1,2) reversed; (4,1) crosses blocks
+    val gold = Seq((1L, 2L), (2L, 1L), (4L, 1L), (4L, 5L)).toDF("a_id", "b_id")
+    val r = Blocking.qualityStats(items, "id", "key", gold).collect()(0)
+    assert(r.getAs[Long]("n_items") == 5L)
+    assert(r.getAs[Long]("n_blocks") == 2L)
+    assert(r.getAs[Double]("n_cand_pairs") == 4.0)   // C(3,2)+C(2,2)
+    assert(r.getAs[Double]("n_all_pairs") == 10.0)
+    assert(r.getAs[Long]("n_gold") == 3L)
+    assert(r.getAs[Long]("n_gold_covered") == 2L)    // (1,2) and (4,5)
+    assert(r.getAs[Double]("reduction_ratio") == 0.6)
+    assert(r.getAs[Double]("pair_completeness") == 0.666667)
+    assert(r.getAs[Double]("pairs_quality") == 0.5)
+  }
+
+  test("qualityStats: key == gold grouping gives completeness 1.0") {
+    val items = Seq((1L, "g1"), (2L, "g1"), (3L, "g2"), (4L, "g2"))
+      .toDF("id", "key")
+    val gold = Seq((1L, 2L), (3L, 4L)).toDF("a_id", "b_id")
+    val r = Blocking.qualityStats(items, "id", "key", gold).collect()(0)
+    assert(r.getAs[Double]("pair_completeness") == 1.0)
+    assert(r.getAs[Double]("pairs_quality") == 1.0)
+  }
+
   test("attachPayload restores scoring fields for both sides") {
     val ms = Seq(mention(1, "x"), mention(2, "y")).toDS()
     val pairs = Seq(("m00001", "m00002")).toDF("a_id", "b_id")
