@@ -918,6 +918,19 @@ object SparkEntry {
       val gold = operators.Dedup.minhashPairs(d, "doc_id", "text", threshold = 0.6)
       operators.Blocking.qualityStats(items, "doc_id", "bkey", gold)
     }),
+
+    // FULL CURATION CHAIN: exact-dedup → decontaminate (vs the doc_id%97
+    // benchmark carve) → PII-redact → quality gate → token-budget mixture
+    // → sequence packing, composed from the individually-oracled stages
+    // and replayed end-to-end by ONE SQL oracle — stage-wise green does
+    // not prove the hand-offs; this does.
+    "q68_curation" -> ((s, dir) => {
+      val d = docs(s, dir)
+      operators.Curation.curate(
+          d.where(col("doc_id") % 97 =!= 0), d.where(col("doc_id") % 97 === 0),
+          "doc_id", "source", "text")
+        .orderBy("doc_id")
+    }),
   )
 
   /** Doc-similarity edges: same conversation (source), turn distance ≤ 3,
@@ -1898,5 +1911,64 @@ object SparkEntry {
         |       round(CASE WHEN n_cand_pairs > 0 THEN n_gold_covered / n_cand_pairs
         |                  ELSE 0.0 END, 6) AS pairs_quality
         |FROM tot, agg1, cov""".stripMargin,
+
+    // The whole curation chain replayed stage by stage: dedup reps →
+    // benchmark 3-gram contamination → the q51 redaction chain → token
+    // quality gate → the q66 mixture predicate → the q54 packing layout.
+    "q68_curation" ->
+      """WITH corpus0 AS (SELECT * FROM documents WHERE doc_id % 97 <> 0),
+        |bench AS (SELECT * FROM documents WHERE doc_id % 97 = 0),
+        |rep AS (SELECT min(doc_id) AS doc_id FROM corpus0 GROUP BY md5(text)),
+        |dd AS (SELECT c.* FROM corpus0 c JOIN rep USING (doc_id)),
+        |btok AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(lower(text),'[a-z0-9]+')) AS tok,
+        |         generate_subscripts(regexp_extract_all(lower(text),'[a-z0-9]+'),1) AS pos
+        |  FROM bench),
+        |bg3 AS (
+        |  SELECT DISTINCT a.tok || ' ' || b.tok || ' ' || c.tok AS gram
+        |  FROM btok a JOIN btok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        |              JOIN btok c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2),
+        |ctok AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(lower(text),'[a-z0-9]+')) AS tok,
+        |         generate_subscripts(regexp_extract_all(lower(text),'[a-z0-9]+'),1) AS pos
+        |  FROM dd),
+        |cg3 AS (
+        |  SELECT DISTINCT a.doc_id, a.tok || ' ' || b.tok || ' ' || c.tok AS gram
+        |  FROM ctok a JOIN ctok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        |              JOIN ctok c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2),
+        |contam AS (SELECT DISTINCT doc_id FROM cg3 JOIN bg3 USING (gram)),
+        |keep1 AS (SELECT * FROM dd WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
+        |red AS (SELECT doc_id, source,
+        |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g'),
+        |    '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS rt
+        |  FROM keep1),
+        |q AS (SELECT doc_id, source, rt,
+        |        len(regexp_extract_all(lower(rt),'[a-z0-9]+')) AS n_tok,
+        |        len(list_distinct(regexp_extract_all(lower(rt),'[a-z0-9]+'))) AS n_dtok
+        |      FROM red),
+        |keep2 AS (SELECT * FROM q WHERE n_tok >= 5 AND
+        |          (CASE WHEN n_tok > 0 THEN n_dtok / n_tok ELSE 0.0 END) >= 0.3),
+        |fr AS (SELECT source,
+        |         CAST(round(least(1.0, 800.0 / sum(n_tok)) * 256) AS INT) AS cells
+        |       FROM keep2 GROUP BY source),
+        |keep3 AS (
+        |  SELECT k.* FROM keep2 k JOIN fr USING (source)
+        |  WHERE substr(md5(k.doc_id::VARCHAR), 1, 2) <
+        |        CASE WHEN fr.cells >= 256 THEN 'g' ELSE printf('%02x', fr.cells) END),
+        |t AS (SELECT doc_id, source,
+        |  CAST(len(regexp_extract_all(lower(rt), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS tok_len
+        |  FROM keep3),
+        |b AS (SELECT doc_id, source, tok_len,
+        |  CAST(ceil(tok_len / 16.0) AS BIGINT) AS bucket,
+        |  substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS shard
+        |  FROM t WHERE tok_len BETWEEN 1 AND 128),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY bucket, shard ORDER BY doc_id) - 1 AS rn,
+        |  CAST(greatest(floor(128.0 / (bucket * 16)), 1) AS BIGINT) AS cap FROM b)
+        |SELECT doc_id, source, tok_len,
+        |  'b' || bucket || ':s' || shard || ':' || CAST(floor(rn / cap) AS BIGINT) AS bin_key
+        |FROM r ORDER BY doc_id""".stripMargin,
   )
 }
