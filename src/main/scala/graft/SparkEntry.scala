@@ -931,6 +931,42 @@ object SparkEntry {
           "doc_id", "source", "text")
         .orderBy("doc_id")
     }),
+
+    // MUST-LINK overlay: human adjudication pairs (doc_id, doc_id+500 at
+    // doc_id%100=0) unioned into the doc-edge graph BEFORE connected
+    // components — adjudication outranks the scorer, transitively.
+    "q69_constrained_components" -> ((s, dir) => {
+      val es = docEdges(s, dir)
+        .select(format_string("%06d", col("src")).as("src"),
+                format_string("%06d", col("dst")).as("dst"))
+      val d = docs(s, dir).select(col("doc_id"))
+      val ml = d.as("A").join(d.as("B"), col("B.doc_id") === col("A.doc_id") + 250)
+        .where(col("A.doc_id") % 50 === 0)
+        .select(format_string("%06d", col("A.doc_id")).as("src"),
+                format_string("%06d", col("B.doc_id")).as("dst"))
+      operators.Constraints.clusterWithMustLink(es, ml)
+        .select("node", "cluster_id").orderBy("node")
+    }),
+
+    // CANNOT-LINK audit: constraint pairs landing in one cluster come
+    // back as the violation worklist (reported, never silently enforced —
+    // constrained CC is NP-hard and a violated cannot-link means some
+    // edge is WRONG, which a reviewer should see). Half the constraints
+    // here are planted violations (even-src edges), half are far-apart
+    // pairs that must NOT be emitted.
+    "q70_constraint_violations" -> ((s, dir) => {
+      val es = docEdges(s, dir)
+        .select(format_string("%06d", col("src")).as("src"),
+                format_string("%06d", col("dst")).as("dst"))
+      val assign = operators.Clustering.connectedComponents(es)
+      val d = docs(s, dir).select(col("doc_id"))
+      val far = d.as("A").join(d.as("B"), col("B.doc_id") === col("A.doc_id") + 111)
+        .where(col("A.doc_id") % 37 === 0)
+        .select(format_string("%06d", col("A.doc_id")).as("src"),
+                format_string("%06d", col("B.doc_id")).as("dst"))
+      val cl = es.where(col("src").cast("bigint") % 2 === 0).unionByName(far)
+      operators.Constraints.violations(assign, cl).orderBy("a", "b")
+    }),
   )
 
   /** Doc-similarity edges: same conversation (source), turn distance ≤ 3,
@@ -1970,5 +2006,64 @@ object SparkEntry {
         |SELECT doc_id, source, tok_len,
         |  'b' || bucket || ':s' || shard || ':' || CAST(floor(rn / cap) AS BIGINT) AS bin_key
         |FROM r ORDER BY doc_id""".stripMargin,
+
+    // q17's recursive-CTE components with the must-link pairs unioned
+    // into e0 before closure.
+    "q69_constrained_components" ->
+      s"""WITH RECURSIVE $transcriptsSql,
+         |d AS (SELECT doc_id, conv_id, turn_idx,
+         |             list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+')) AS ts
+         |      FROM tr),
+         |e0 AS (
+         |  SELECT printf('%06d', a.doc_id) AS src, printf('%06d', b.doc_id) AS dst
+         |  FROM d a JOIN d b ON a.conv_id = b.conv_id
+         |    AND b.turn_idx > a.turn_idx AND b.turn_idx <= a.turn_idx + 3
+         |  WHERE round(len(list_intersect(a.ts, b.ts)) * 1.0 /
+         |              (len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts))), 4) >= 0.75
+         |  UNION
+         |  SELECT printf('%06d', a.doc_id) AS src, printf('%06d', b.doc_id) AS dst
+         |  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 250
+         |  WHERE a.doc_id % 50 = 0),
+         |e AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+         |n AS (SELECT DISTINCT src AS node FROM e),
+         |r AS (
+         |  SELECT node, node AS reach FROM n
+         |  UNION
+         |  SELECT e.dst AS node, r.reach FROM r JOIN e ON e.src = r.node)
+         |SELECT node, min(reach) AS cluster_id FROM r GROUP BY node ORDER BY node""".stripMargin,
+
+    // Components over the unmodified edge graph; constraints = even-src
+    // edges (planted violations) ∪ far-apart pairs (non-violations);
+    // emit pairs whose sides share a cluster.
+    "q70_constraint_violations" ->
+      s"""WITH RECURSIVE $transcriptsSql,
+         |d AS (SELECT doc_id, conv_id, turn_idx,
+         |             list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+')) AS ts
+         |      FROM tr),
+         |e0 AS (
+         |  SELECT printf('%06d', a.doc_id) AS src, printf('%06d', b.doc_id) AS dst
+         |  FROM d a JOIN d b ON a.conv_id = b.conv_id
+         |    AND b.turn_idx > a.turn_idx AND b.turn_idx <= a.turn_idx + 3
+         |  WHERE round(len(list_intersect(a.ts, b.ts)) * 1.0 /
+         |              (len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts))), 4) >= 0.75),
+         |e AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+         |n AS (SELECT DISTINCT src AS node FROM e),
+         |r AS (
+         |  SELECT node, node AS reach FROM n
+         |  UNION
+         |  SELECT e.dst AS node, r.reach FROM r JOIN e ON e.src = r.node),
+         |assign AS (SELECT node, min(reach) AS cluster_id FROM r GROUP BY node),
+         |far AS (
+         |  SELECT printf('%06d', a.doc_id) AS src, printf('%06d', b.doc_id) AS dst
+         |  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 111
+         |  WHERE a.doc_id % 37 = 0),
+         |cl0 AS (SELECT src, dst FROM e0 WHERE CAST(src AS BIGINT) % 2 = 0
+         |        UNION ALL SELECT src, dst FROM far),
+         |cln AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM cl0)
+         |SELECT c.a, c.b, x.cluster_id
+         |FROM cln c JOIN assign x ON x.node = c.a
+         |           JOIN assign y ON y.node = c.b
+         |WHERE x.cluster_id = y.cluster_id
+         |ORDER BY a, b""".stripMargin,
   )
 }
