@@ -967,6 +967,47 @@ object SparkEntry {
       val cl = es.where(col("src").cast("bigint") % 2 === 0).unionByName(far)
       operators.Constraints.violations(assign, cl).orderBy("a", "b")
     }),
+
+    // SCORING EXPLAIN: the real Scoring.withFeatures over a relationally
+    // derived pair frame with MULTI-candidate priors — the per-pair
+    // feature dump a reviewer gets when asking WHY two records scored
+    // together (q13's end-to-end oracle can't show it). Candidates =
+    // each doc's top-3 tokens with frequency-normalized priors; ctx =
+    // the doc's embedding; pairs = consecutive ids (q25's pairing). The
+    // prior-overlap ARRAY lambda (max over shared entities of
+    // min(prior)) is replayed relationally as a guarded max-least join —
+    // exercising shared, partial, and disjoint candidate paths.
+    "q71_score_explain" -> ((s, dir) => {
+      val tc = docs(s, dir)
+        .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("tok"))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("cnt"))
+      val rkW = Window.partitionBy("doc_id").orderBy(desc("cnt"), asc("tok"))
+      val pr = tc.withColumn("rk", row_number().over(rkW)).where(col("rk") <= 3)
+        .withColumn("prior",
+          col("cnt").cast("double") / sum("cnt").over(Window.partitionBy("doc_id")))
+      val cands = pr.groupBy("doc_id").agg(
+        collect_list(struct(col("tok").as("entity"), col("prior").as("prior")))
+          .as("candidates"),
+        max(when(col("rk") === 1, col("tok"))).as("resolved"),
+        max(when(col("rk") === 1, col("prior"))).as("resolvedScore"))
+      val m = docs(s, dir)
+        .select(col("doc_id"),
+                operators.Boilerplate.prefixKey(col("text"), 2).as("norm"))
+        .join(cands, "doc_id")
+        .join(embeddings(s, dir)
+          .select(col("vec_id").as("doc_id"), col("embedding").as("ctx")), "doc_id")
+      val mside = struct(col("norm"), col("ctx"), col("candidates"),
+                         col("resolved"), col("resolvedScore"))
+      val pa = m.select(col("doc_id").as("a_id"), mside.as("a"))
+      val pb = m.select((col("doc_id") - 1).as("a_id"),
+                        col("doc_id").as("b_id"), mside.as("b"))
+      operators.Scoring.withFeatures(pa.join(pb, "a_id"))
+        .select(col("a_id"), col("b_id"),
+                round(col("f_jw"), 5).as("f_jw"), round(col("f_lev"), 5).as("f_lev"),
+                round(col("f_cos"), 5).as("f_cos"), round(col("f_prior"), 5).as("f_prior"),
+                col("f_agree"), round(col("score"), 5).as("score"))
+        .orderBy("a_id")
+    }),
   )
 
   /** Doc-similarity edges: same conversation (source), turn distance ≤ 3,
@@ -2065,5 +2106,54 @@ object SparkEntry {
          |           JOIN assign y ON y.node = c.b
          |WHERE x.cluster_id = y.cluster_id
          |ORDER BY a, b""".stripMargin,
+
+    // The five scoring features + blend replayed relationally: the
+    // prior-overlap lambda becomes max(CASE shared THEN least(pa,pb))
+    // (the CASE guard matters — least() skips NULLs in both engines,
+    // the exact trap the Spark fix documents).
+    "q71_score_explain" ->
+      """WITH tc AS (
+        |  SELECT doc_id, tok, count(*) AS cnt FROM (
+        |    SELECT doc_id, unnest(regexp_extract_all(lower(text),'[a-z0-9]+')) AS tok
+        |    FROM documents) GROUP BY doc_id, tok),
+        |pr AS (
+        |  SELECT doc_id, tok, rk,
+        |         cnt * 1.0 / sum(cnt) OVER (PARTITION BY doc_id) AS prior
+        |  FROM (SELECT doc_id, tok, cnt,
+        |          row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, tok) AS rk
+        |        FROM tc)
+        |  WHERE rk <= 3),
+        |nm AS (
+        |  SELECT doc_id,
+        |         array_to_string(list_slice(regexp_extract_all(lower(text),'[a-z0-9]+'), 1, 2), ' ') AS norm
+        |  FROM documents),
+        |res AS (SELECT doc_id, tok AS resolved, prior AS rscore FROM pr WHERE rk = 1),
+        |m AS (SELECT n.doc_id, n.norm, r.resolved, r.rscore, e.embedding AS ctx
+        |      FROM nm n JOIN res r ON r.doc_id = n.doc_id
+        |                JOIN embeddings e ON e.vec_id = n.doc_id),
+        |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |             a.norm AS na, b.norm AS nb, a.resolved AS ra, b.resolved AS rb,
+        |             a.rscore AS sa, b.rscore AS sb, a.ctx AS ca, b.ctx AS cb
+        |      FROM m a JOIN m b ON b.doc_id = a.doc_id + 1),
+        |ov AS (SELECT p.a_id,
+        |              max(CASE WHEN pb.tok IS NOT NULL
+        |                       THEN least(pa.prior, pb.prior) END) AS mx
+        |       FROM p JOIN pr pa ON pa.doc_id = p.a_id
+        |              LEFT JOIN pr pb ON pb.doc_id = p.b_id AND pb.tok = pa.tok
+        |       GROUP BY p.a_id),
+        |f AS (SELECT p.*,
+        |        jaro_winkler_similarity(na, nb) AS jw,
+        |        CASE WHEN greatest(len(na), len(nb)) > 0
+        |             THEN 1.0 - levenshtein(na, nb) * 1.0 / greatest(len(na), len(nb))
+        |             ELSE 1.0 END AS lev,
+        |        list_cosine_similarity(CAST(ca AS DOUBLE[]), CAST(cb AS DOUBLE[])) AS cos,
+        |        coalesce(o.mx, 0.0) AS pov,
+        |        CASE WHEN ra <> '' AND ra = rb AND sa >= 0.02 AND sb >= 0.02
+        |             THEN 1.0 ELSE 0.0 END AS agree
+        |      FROM p LEFT JOIN ov o ON o.a_id = p.a_id)
+        |SELECT a_id, b_id, round(jw, 5) AS f_jw, round(lev, 5) AS f_lev,
+        |       round(cos, 5) AS f_cos, round(pov, 5) AS f_prior, agree AS f_agree,
+        |       round(0.15*jw + 0.05*lev + 0.15*cos + 0.15*pov + 0.5*agree, 5) AS score
+        |FROM f ORDER BY a_id""".stripMargin,
   )
 }
