@@ -1008,6 +1008,18 @@ object SparkEntry {
                 col("f_agree"), round(col("score"), 5).as("score"))
         .orderBy("a_id")
     }),
+
+    // BANDING PLANNER: recall-vs-cost table for every sound LSH banding
+    // of k=128, evaluated against the corpus's EMPIRICAL similarity
+    // distribution on a deterministic md5-cell sample — the round-5
+    // bench measured why (0.6-exact banding admits a 0.25% baseline
+    // candidate rate on template-heavy text; 0.8's 32x4 admits ~5e-8):
+    // read the table, pick the cheapest row whose recall is acceptable,
+    // BEFORE paying for the join.
+    "q72_banding_plan" -> ((s, dir) =>
+      operators.Dedup.bandingPlan(docs(s, dir), "doc_id", "text",
+          threshold = 0.6, sampleFrac = 0.25)
+        .orderBy(desc("band_rows"))),
   )
 
   /** Doc-similarity edges: same conversation (source), turn distance ≤ 3,
@@ -2155,5 +2167,35 @@ object SparkEntry {
         |       round(cos, 5) AS f_cos, round(pov, 5) AS f_prior, agree AS f_agree,
         |       round(0.15*jw + 0.05*lev + 0.15*cos + 0.15*pov + 0.5*agree, 5) AS score
         |FROM f ORDER BY a_id""".stripMargin,
+
+    // Sample = the q45 md5-cell predicate (frac 0.25 -> bound '40');
+    // pairwise Jaccard via q20's shingle CTEs, rounded 4dp BEFORE pow so
+    // both engines exponentiate identical inputs.
+    "q72_banding_plan" ->
+      """WITH sd AS (
+        |  SELECT doc_id, text FROM documents
+        |  WHERE substr(md5(doc_id::VARCHAR || 'plan'), 1, 2) < '40'),
+        |t AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(lower(text),'[a-z0-9]+')) AS tok,
+        |         generate_subscripts(regexp_extract_all(lower(text),'[a-z0-9]+'),1) AS pos
+        |  FROM sd),
+        |sh AS (
+        |  SELECT a.doc_id, list_distinct(list(a.tok || ' ' || b.tok || ' ' || c.tok)) AS s
+        |  FROM t a JOIN t b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        |           JOIN t c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+        |  GROUP BY a.doc_id),
+        |pj AS (
+        |  SELECT round(len(list_intersect(a.s, b.s)) * 1.0 /
+        |               (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 4) AS j
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
+        |bandings AS (SELECT * FROM (VALUES (16, 8), (8, 16), (4, 32), (2, 64), (1, 128))
+        |             AS v(r, b))
+        |SELECT v.r AS band_rows, v.b AS bands,
+        |       round(1 - power(1 - power(0.6, v.r), v.b), 6) AS recall_at_t,
+        |       round(avg(1 - power(1 - power(pj.j, v.r), v.b)), 6) AS exp_cand_rate,
+        |       count(*) AS n_sample_pairs
+        |FROM bandings v CROSS JOIN pj
+        |GROUP BY v.r, v.b
+        |ORDER BY band_rows DESC""".stripMargin,
   )
 }

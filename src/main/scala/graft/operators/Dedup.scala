@@ -173,6 +173,65 @@ object Dedup {
     jaccardVerify(cand, shBase.union(shDelta), threshold)
   }
 
+  /** BANDING PLANNER — choose the LSH banding BEFORE paying for the
+    * candidate join. The round-5 bench measured why this matters: at
+    * threshold 0.6 the exactness-preserving banding (64×2) admits a
+    * 0.25% BASELINE candidate rate on template-heavy transcript text
+    * (21.3M candidate pairs at 130k docs — a quadratic floor), while
+    * 32×4 at threshold 0.8 admits ~5e-8. The tradeoff depends on the
+    * CORPUS's baseline Jaccard distribution, which no closed form knows
+    * in advance — so measure it on a deterministic sample and evaluate
+    * every banding against it.
+    *
+    * For each row count r dividing `k` (b = k/r bands), emits
+    *   - recall_at_t  = 1-(1-t^r)^b  — P(candidate) for a pair AT the
+    *     verify threshold (the soundness number autoBanding gates),
+    *   - exp_cand_rate = mean over sampled pairs of 1-(1-j^r)^b — the
+    *     expected fraction of ALL pairs that become candidates given the
+    *     empirical similarity distribution (the COST number).
+    * Read the table, pick the cheapest row whose recall is acceptable.
+    *
+    * Scale shape: the sample is an md5-cell predicate ([[Sampling]] —
+    * deterministic, engine-reproducible ⇒ exact q72 oracle); all-pairs
+    * Jaccard runs on sample² pairs only (frac chosen so the sample is
+    * hundreds of docs); the banding sweep is closed-form column math on
+    * the 4dp-rounded jaccards (rounded BEFORE pow so both engines
+    * exponentiate identical inputs). */
+  def bandingPlan(df: DataFrame, idCol: String, textCol: String,
+                  shingleN: Int = 3, k: Int = 128,
+                  threshold: Double = 0.6,
+                  sampleFrac: Double = 0.25,
+                  seed: String = "plan"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val sampled = df
+      .where(Sampling.hashSample(col(idCol), sampleFrac, seed))
+      .select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+      .as[(Long, String)]
+      .map { case (id, text) => (id, shingles(text, shingleN).toArray) }
+      .toDF("id", "sh")
+      .where(size(col("sh")) > 0)
+    val pairJac = sampled.as("L").join(sampled.as("R"), col("L.id") < col("R.id"))
+      .select(round(
+        size(array_intersect(col("L.sh"), col("R.sh"))).cast("double") /
+          (size(col("L.sh")) + size(col("R.sh")) -
+           size(array_intersect(col("L.sh"), col("R.sh")))).cast("double"), 4)
+        .as("j"))
+    val bandings = Seq(16, 8, 4, 2, 1).filter(k % _ == 0)
+    val planRows = bandings.map { r =>
+      val b = k / r
+      val recall = math.rint((1.0 - math.pow(1.0 - math.pow(threshold, r), b)) * 1e6) / 1e6
+      pairJac.agg(
+        round(avg(lit(1.0) - pow(lit(1.0) - pow(col("j"), lit(r)), lit(b))), 6)
+          .as("exp_cand_rate"),
+        count(lit(1)).as("n_sample_pairs"))
+        .select(lit(r).cast("int").as("band_rows"), lit(b).cast("int").as("bands"),
+                lit(recall).as("recall_at_t"),
+                col("exp_cand_rate"), col("n_sample_pairs"))
+    }
+    planRows.reduce(_ unionByName _)
+  }
+
   /** SimHash near-duplicate pairs: 64-bit Charikar simhash over unigram
     * token occurrences (md5 feature hash — DuckDB-reproducible, see
     * [[MinHash.simHashMd5]]), candidates from Manku block-combination

@@ -114,6 +114,25 @@ class DedupSpec extends SparkSpec {
       s"missed=${(expect -- got).size} extra=${(got -- expect).size}")
   }
 
+  test("bandingPlan: closed-form recall, monotone recall/cost tradeoff, autoBanding consistency") {
+    val plan = Dedup.bandingPlan(docs, "doc_id", "text",
+        threshold = 0.6, sampleFrac = 0.5)
+      .orderBy(desc("band_rows"))
+      .as[(Int, Int, Double, Double, Long)].collect()
+    assert(plan.map(_._1).toSeq == Seq(16, 8, 4, 2, 1))
+    plan.foreach { case (r, b, rec, rate, n) =>
+      assert(b * r == 128)
+      assert(math.abs(rec - (1 - math.pow(1 - math.pow(0.6, r), b))) < 1e-6)
+      assert(rate >= 0.0 && rate <= 1.0 && n > 0)
+    }
+    // fewer rows per band (same k) => more collisions: recall AND cost rise
+    assert(plan.map(_._3).toSeq == plan.map(_._3).sorted.toSeq)
+    assert(plan.map(_._4).toSeq == plan.map(_._4).sorted.toSeq)
+    // the planner's cheapest sound row IS autoBanding's pick
+    val pick = plan.filter(_._3 >= 0.9999).map(_._1).max
+    assert(pick == Dedup.autoBanding(128, 0.6)._2)
+  }
+
   test("minhashPairsDelta never pairs base against base") {
     val base = Seq((1L, "a b c d e f"), (2L, "a b c d e f"),
                    (3L, "q w e r t y")).toDF("doc_id", "text")
