@@ -896,7 +896,8 @@ object SparkEntry {
 
     // TOKEN-BUDGET MIXTURE: each source down-sampled to a 1000-token
     // budget via per-class md5-cell fractions — frac = min(1,
-    // budget/total_tokens) quantized to the 256-cell grid, so the whole
+    // budget/total_tokens) quantized to Mixture's 16^6-cell grid (fine
+    // enough that a positive budget never drops a class), so the whole
     // chain (token totals -> fraction -> keep predicate) is closed-form
     // and engine-reproducible.
     "q66_token_mixture" -> ((s, dir) =>
@@ -932,8 +933,8 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
-    // MUST-LINK overlay: human adjudication pairs (doc_id, doc_id+500 at
-    // doc_id%100=0) unioned into the doc-edge graph BEFORE connected
+    // MUST-LINK overlay: human adjudication pairs (doc_id, doc_id+250 at
+    // doc_id%50=0) unioned into the doc-edge graph BEFORE connected
     // components — adjudication outranks the scorer, transitively.
     "q69_constrained_components" -> ((s, dir) => {
       val es = docEdges(s, dir)
@@ -1944,8 +1945,9 @@ object SparkEntry {
         |            (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 4) >= 0.6
         |ORDER BY a_id, b_id""".stripMargin,
 
-    // Closed-form mixture replay: per-source token totals -> quantized
-    // keep fraction -> the same md5-cell predicate q45 established.
+    // Closed-form mixture replay: per-source token totals -> keep
+    // fraction quantized to the 16^6-cell grid -> the q45 md5-cell
+    // predicate at 6 hex chars; null-safe class join.
     "q66_token_mixture" ->
       """WITH tk AS (
         |  SELECT doc_id, source,
@@ -1953,12 +1955,12 @@ object SparkEntry {
         |  FROM documents),
         |fr AS (
         |  SELECT source,
-        |         CAST(round(least(1.0, 1000.0 / sum(n_tok)) * 256) AS INT) AS cells
+        |         CAST(round(least(1.0, 1000.0 / sum(n_tok)) * 16777216) AS INT) AS cells
         |  FROM tk GROUP BY source)
         |SELECT t.doc_id, t.source
-        |FROM tk t JOIN fr USING (source)
-        |WHERE substr(md5(t.doc_id::VARCHAR), 1, 2) <
-        |      CASE WHEN fr.cells >= 256 THEN 'g' ELSE printf('%02x', fr.cells) END
+        |FROM tk t JOIN fr ON t.source IS NOT DISTINCT FROM fr.source
+        |WHERE substr(md5(t.doc_id::VARCHAR), 1, 6) <
+        |      CASE WHEN fr.cells >= 16777216 THEN 'g' ELSE printf('%06x', fr.cells) END
         |ORDER BY doc_id""".stripMargin,
 
     // Blocking-quality triple over closed-form pair counts: per-block
@@ -2041,12 +2043,12 @@ object SparkEntry {
         |keep2 AS (SELECT * FROM q WHERE n_tok >= 5 AND
         |          (CASE WHEN n_tok > 0 THEN n_dtok / n_tok ELSE 0.0 END) >= 0.3),
         |fr AS (SELECT source,
-        |         CAST(round(least(1.0, 800.0 / sum(n_tok)) * 256) AS INT) AS cells
+        |         CAST(round(least(1.0, 800.0 / sum(n_tok)) * 16777216) AS INT) AS cells
         |       FROM keep2 GROUP BY source),
         |keep3 AS (
-        |  SELECT k.* FROM keep2 k JOIN fr USING (source)
-        |  WHERE substr(md5(k.doc_id::VARCHAR), 1, 2) <
-        |        CASE WHEN fr.cells >= 256 THEN 'g' ELSE printf('%02x', fr.cells) END),
+        |  SELECT k.* FROM keep2 k JOIN fr ON k.source IS NOT DISTINCT FROM fr.source
+        |  WHERE substr(md5(k.doc_id::VARCHAR), 1, 6) <
+        |        CASE WHEN fr.cells >= 16777216 THEN 'g' ELSE printf('%06x', fr.cells) END),
         |t AS (SELECT doc_id, source,
         |  CAST(len(regexp_extract_all(lower(rt), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS tok_len
         |  FROM keep3),

@@ -287,7 +287,11 @@ object Blocking {
     * a multi-key union would need inclusion–exclusion on pair counts —
     * the pair GENERATOR dedups instead, see [[candidatePairs]]).
     * `gold`: (a_id, b_id) labeled matches, any orientation; normalized
-    * and deduped here. Ratios rounded to 6dp (oracle-stable). */
+    * and deduped here. Gold pairs with EITHER side absent from `items`
+    * are excluded from n_gold and n_gold_covered both — the metric is
+    * completeness over the evaluated population; pass item and gold
+    * frames drawn from the same population or the restriction inflates
+    * pair_completeness. Ratios rounded to 6dp (oracle-stable). */
   def qualityStats(items: DataFrame, idCol: String, keyCol: String,
                    gold: DataFrame): DataFrame = {
     val keyed = items.select(col(idCol).as("_id"), col(keyCol).as("_key"))

@@ -66,8 +66,13 @@ object Curation {
             size(array_distinct(toks)).cast("double") / col("_n_tok"))
           .otherwise(0.0) >= cfg.minDistinctRatio)
 
-    val mixed = Mixture.materialize(quality, idCol, clsCol, "redacted",
-      Map.empty, cfg.budgetPerClass)
+    // mixed feeds BOTH packBucketed and the class-restore join; without
+    // the persist the whole upstream chain (dedup groupBy, gram join,
+    // 4 regex passes, mixture agg+join) would execute twice
+    val mixed = graft.CacheTracker.register(
+      Mixture.materialize(quality, idCol, clsCol, "redacted",
+          Map.empty, cfg.budgetPerClass)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
     Packing.packBucketed(mixed, idCol, "redacted",
         cfg.maxTokens, cfg.granularity, cfg.shardHexChars)

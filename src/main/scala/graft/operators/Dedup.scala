@@ -161,7 +161,12 @@ object Dedup {
       }.toDF("band_key", "id")
     val shBase = shingleFrame(base)
     val shDelta = shingleFrame(delta)
-    val bandsDelta = bandFrame(shDelta)
+    // the delta's band keys sit on BOTH join sides (probe + union into
+    // build); unpersisted, the 128-minhash signature map — the stage
+    // that dominates — would run twice per cycle
+    val bandsDelta = graft.CacheTracker.register(
+      bandFrame(shDelta)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     // delta probes base ∪ delta; base never meets base. least/greatest +
     // distinct folds the two orientations a delta×delta pair produces.
     val cand = bandsDelta.as("L")
@@ -211,12 +216,16 @@ object Dedup {
       .map { case (id, text) => (id, shingles(text, shingleN).toArray) }
       .toDF("id", "sh")
       .where(size(col("sh")) > 0)
-    val pairJac = sampled.as("L").join(sampled.as("R"), col("L.id") < col("R.id"))
-      .select(round(
-        size(array_intersect(col("L.sh"), col("R.sh"))).cast("double") /
-          (size(col("L.sh")) + size(col("R.sh")) -
-           size(array_intersect(col("L.sh"), col("R.sh")))).cast("double"), 4)
-        .as("j"))
+    // one banding row per agg below — persist or the quadratic
+    // sample-pair join recomputes once per banding
+    val pairJac = graft.CacheTracker.register(
+      sampled.as("L").join(sampled.as("R"), col("L.id") < col("R.id"))
+        .select(round(
+          size(array_intersect(col("L.sh"), col("R.sh"))).cast("double") /
+            (size(col("L.sh")) + size(col("R.sh")) -
+             size(array_intersect(col("L.sh"), col("R.sh")))).cast("double"), 4)
+          .as("j"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val bandings = Seq(16, 8, 4, 2, 1).filter(k % _ == 0)
     val planRows = bandings.map { r =>
       val b = k / r

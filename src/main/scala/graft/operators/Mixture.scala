@@ -19,9 +19,11 @@ import org.apache.spark.sql.functions._
   * so the mixture is stable under repartitioning, AQE, and incremental
   * re-runs, and RAISING a budget only ADDS rows — monotone growth, no
   * reshuffling of what a previous run already picked). The per-class
-  * fraction frac_c = min(1, budget_c / total_tokens_c) is quantized to the
-  * 256-cell grid exactly as `hashSample` does, which is what makes the
-  * whole chain expressible as closed-form SQL (q66's exact DuckDB oracle).
+  * fraction frac_c = min(1, budget_c / total_tokens_c) is quantized to
+  * [[CellsTotal]] md5 cells (`hashSampleAt` mechanics at [[HexChars]] hex
+  * chars — fine enough that a positive budget never quantizes a class to
+  * zero), which is what makes the whole chain expressible as closed-form
+  * SQL (q66's exact DuckDB oracle).
   *
   * Scale shape (100 TB): the totals frame has one row per class — it
   * broadcasts; the keep-filter is map-only column math. Sampling error vs
@@ -53,22 +55,34 @@ object Mixture {
     totals
       .withColumn("frac",
         least(lit(1.0), budgetExpr.cast("double") / col("total_tokens")))
-      .withColumn("cells", round(col("frac") * 256, 0).cast("int"))
+      .withColumn("cells", round(col("frac") * CellsTotal, 0).cast("int"))
   }
+
+  /** 16^6 cells (6 md5 hex chars). The 2-hex grid `Sampling.hashSample`
+    * defaults to quantizes fractions below 1/512 to ZERO — at corpus
+    * scale any realistic budget/total ratio is far below that, and a
+    * positive budget must never drop a class entirely (the
+    * `hashSampleAt` lesson, applied here by default). 16.7M cells keep
+    * fractions down to ~6e-8 non-degenerate. */
+  val HexChars = 6
+  val CellsTotal: Int = 1 << (4 * HexChars)
 
   /** The mixed corpus: input rows (all columns preserved) down-sampled
     * per class to its token budget via the md5-cell predicate on
-    * `keyCol`. Classes at or under budget are kept whole. */
+    * `keyCol`. Classes at or under budget are kept whole. NULL classes
+    * are real rows (the join is null-safe): they form their own class
+    * under `defaultBudget`. */
   def materialize(df: DataFrame, keyCol: String, clsCol: String,
                   textCol: String, budgets: Map[String, Long],
                   defaultBudget: Long = Long.MaxValue,
                   seed: String = ""): DataFrame = {
     val fr = fractions(df, clsCol, textCol, budgets, defaultBudget)
       .select(col("cls").as("_cls"), col("cells").as("_cells"))
-    val bound = when(col("_cells") >= 256, lit("g"))
-      .otherwise(format_string("%02x", col("_cells")))
-    df.join(broadcast(fr), df(clsCol) === col("_cls"))
-      .where(Sampling.hashCell(col(keyCol), seed) < bound)
+    val bound = when(col("_cells") >= CellsTotal, lit("g"))
+      .otherwise(format_string(s"%0${HexChars}x", col("_cells")))
+    df.join(broadcast(fr), df(clsCol) <=> col("_cls"))
+      .where(substring(md5(concat(col(keyCol).cast("string"), lit(seed))),
+                       1, HexChars) < bound)
       .select(df.columns.map(col): _*)
   }
 }
