@@ -149,10 +149,16 @@ object IncrementBench {
     // in profile mode incS is the -1.0 sentinel and an unguarded divide
     // would emit negative garbage into the bench-evidence jsonl
     val speedup = if (skipFull || profile || incS <= 0) 0.0 else fullS / incS
-    val deltaThr = if (profile || incS <= 0) 0.0 else nDelta / incS
+    // in retract mode the timed operation touches the RETRACTED turns,
+    // not the increment delta — report the workload it actually measured
+    val nWork =
+      if (retractMode)
+        baseTurns.join(retractConvs, Seq("conv_id"), "left_semi").count()
+      else nDelta
+    val deltaThr = if (profile || incS <= 0) 0.0 else nWork / incS
     val json =
       s"""{"metric":"increment_bench","convs":$nConvs,"turns":$nTurns,""" +
-      s""""delta_frac":$deltaFrac,"delta_turns":$nDelta,""" +
+      s""""delta_frac":$deltaFrac,"delta_turns":$nWork,""" +
       s""""base_s":$baseS,"inc_s":$incS,"full_s":$fullS,""" +
       s""""speedup_vs_full":$speedup,""" +
       s""""delta_turns_per_sec":$deltaThr,""" +

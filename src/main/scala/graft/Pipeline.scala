@@ -401,14 +401,30 @@ object Pipeline {
     *
     * Output equality (increment and retraction over a compacted state ==
     * over the original) is spec-gated; table contents are preserved
-    * row-for-row. */
+    * row-for-row.
+    *
+    * EPOCH isolation: each compaction writes under `$root/epoch_N`
+    * (N = 1 + the highest existing epoch) with epoch-suffixed catalog
+    * names — never the path/table a PREVIOUS compaction's returned
+    * frames are reading from. Re-compacting a state whose frames point
+    * at epoch N therefore reads N while writing N+1; overwriting the
+    * input mid-job (the self-destruct a fixed layout invites) cannot
+    * happen. Old epoch directories are left on disk — reclaiming them
+    * is a retention sweep, and in production the whole concern is
+    * Iceberg `rewrite_data_files`, which is snapshot-isolated for free. */
   def compactState(state: IncrementState, root: String, buckets: Int = 32,
                    label: String = "state"): IncrementState = {
     val spark = state.mentions.sparkSession
     val app = spark.sparkContext.applicationId.replaceAll("[^a-zA-Z0-9_]", "_")
+    val prior = Option(new java.io.File(root).listFiles())
+      .map(_.toSeq.map(_.getName)
+        .filter(_.startsWith("epoch_"))
+        .flatMap(n => scala.util.Try(n.stripPrefix("epoch_").toInt).toOption))
+      .getOrElse(Seq.empty)
+    val epoch = (prior :+ 0).max + 1
     def write(df: DataFrame, n: String, key: String) =
-      sources.TableIO.writeBucketed(df, s"graft_${label}_${n}_$app",
-                                    s"$root/$n", Seq(key), buckets)
+      sources.TableIO.writeBucketed(df, s"graft_${label}_${n}_e${epoch}_$app",
+                                    s"$root/epoch_$epoch/$n", Seq(key), buckets)
     IncrementState(
       mentions = write(state.mentions, "mentions", "mention_id"),
       keyed = write(state.keyed, "keyed", "block_key"),

@@ -1908,11 +1908,11 @@ object SparkEntry {
 
     "q64_snapshot_diff" ->
       """WITH o AS (
-        |  SELECT doc_id AS id, md5(text) AS old_sig
+        |  SELECT doc_id AS id, coalesce(md5(text), 'null-text') AS old_sig
         |  FROM documents WHERE doc_id % 10 <> 0),
         |n AS (
         |  SELECT doc_id AS id,
-        |         md5(CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END) AS new_sig
+        |         coalesce(md5(CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END), 'null-text') AS new_sig
         |  FROM documents WHERE doc_id % 7 <> 0)
         |SELECT COALESCE(o.id, n.id) AS id,
         |       CASE WHEN o.old_sig IS NULL THEN 'added'

@@ -66,6 +66,12 @@ object AsOfJoin {
                        rightPayload: Seq[String],
                        bucketSeconds: Long): DataFrame = {
     require(bucketSeconds > 0, "bucketSeconds must be positive")
+    // same fail-fast as lastPrior — the sharded path assembles its
+    // output via finish() directly, so without this check a collision
+    // surfaces as a duplicate-named column downstream, not an error
+    require(rightPayload.intersect(left.columns.toSeq).isEmpty,
+            s"right payload collides with left columns: " +
+            s"${rightPayload.intersect(left.columns.toSeq).mkString(",")}")
     val bkt = floor(col(ts).cast("timestamp").cast("double") / bucketSeconds)
       .cast("long")
 

@@ -346,8 +346,13 @@ object Dedup {
     * per-doc aggregate is a map-side-combinable count. */
   def dupSpans(df: DataFrame, idCol: String, textCol: String,
                n: Int = 3): DataFrame = {
-    val toks = df.select(col(idCol).cast("long").as("id"),
-                         TextFns.tokens(col(textCol)).as("tk"))
+    // toks feeds BOTH the gram explode and the final n_tokens count;
+    // persisted so the corpus is tokenized once (the arrays are the same
+    // weight class minhashPairs already persists as shingles)
+    val toks = graft.CacheTracker.register(
+      df.select(col(idCol).cast("long").as("id"),
+                TextFns.tokens(col(textCol)).as("tk"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val grams = graft.CacheTracker.register(
       toks.select(col("id"),
           posexplode(Decontaminate.ngrams(col("tk"), n)).as(Seq("pos", "gram")))

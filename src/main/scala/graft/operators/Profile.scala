@@ -27,22 +27,32 @@ object Profile {
     * `min_v`/`max_v` are stringified for a uniform schema. */
   def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "profile: no columns given")
+    // column names appear in SQL text (percentile + stack) and even the
+    // Column API parses backticks in attribute names — so work over a
+    // POSITIONALLY renamed frame with safe generated names and carry the
+    // original name only as a quoted data literal
+    val idx = df.columns.zipWithIndex.toMap
+    cols.foreach(c => require(idx.contains(c), s"profile: no such column: $c"))
+    val safeDf = df.toDF(df.columns.indices.map(i => s"__c$i"): _*)
+    def sc(c: String) = col(s"__c${idx(c)}")
+    def sn(c: String, suffix: String) = s"__c${idx(c)}__$suffix"
+    val qLit = (s: String) => "'" + s.replace("'", "''") + "'"
     val exprs = cols.flatMap { c =>
       val numeric = df.schema(c).dataType.isInstanceOf[NumericType]
       Seq(
-        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
-        countDistinct(col(c)).as(s"${c}__distinct"),
-        min(col(c)).cast("string").as(s"${c}__min"),
-        max(col(c)).cast("string").as(s"${c}__max"),
-        (if (numeric) round(avg(col(c)), 6)
-         else lit(null).cast("double")).as(s"${c}__mean"),
-        (if (numeric) round(expr(s"percentile(`$c`, 0.5)"), 6)
-         else lit(null).cast("double")).as(s"${c}__p50"))
+        sum(when(sc(c).isNull, 1L).otherwise(0L)).as(sn(c, "nulls")),
+        countDistinct(sc(c)).as(sn(c, "distinct")),
+        min(sc(c)).cast("string").as(sn(c, "min")),
+        max(sc(c)).cast("string").as(sn(c, "max")),
+        (if (numeric) round(avg(sc(c)), 6)
+         else lit(null).cast("double")).as(sn(c, "mean")),
+        (if (numeric) round(expr(s"percentile(__c${idx(c)}, 0.5)"), 6)
+         else lit(null).cast("double")).as(sn(c, "p50")))
     } :+ count(lit(1)).as("__n")
-    val row = df.agg(exprs.head, exprs.tail: _*)
+    val row = safeDf.agg(exprs.head, exprs.tail: _*)
     val stacked = cols.map { c =>
-      s"'$c', `__n`, `${c}__nulls`, `${c}__distinct`, " +
-      s"`${c}__min`, `${c}__max`, `${c}__mean`, `${c}__p50`"
+      s"${qLit(c)}, `__n`, `${sn(c, "nulls")}`, `${sn(c, "distinct")}`, " +
+      s"`${sn(c, "min")}`, `${sn(c, "max")}`, `${sn(c, "mean")}`, `${sn(c, "p50")}`"
     }.mkString(", ")
     row.selectExpr(
       s"stack(${cols.size}, $stacked) as " +

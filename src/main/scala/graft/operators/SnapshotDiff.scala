@@ -25,8 +25,15 @@ object SnapshotDiff {
     * Output: (id, status ∈ {added, removed, changed}, old_sig, new_sig). */
   def diff(oldDf: DataFrame, newDf: DataFrame,
            idCol: String, textCol: String): DataFrame = {
-    val o = oldDf.select(col(idCol).as("id"), md5(col(textCol)).as("old_sig"))
-    val n = newDf.select(col(idCol).as("id"), md5(col(textCol)).as("new_sig"))
+    // NULL text gets a sentinel signature: md5(null) is null, and a null
+    // sig is indistinguishable from "row absent" — a doc present in both
+    // snapshots with null text would read as 'added' (and a removed one
+    // too). The sentinel is not a valid md5, so it can't collide with a
+    // real signature.
+    val sig = (c: org.apache.spark.sql.Column) =>
+      coalesce(md5(c), lit("null-text"))
+    val o = oldDf.select(col(idCol).as("id"), sig(col(textCol)).as("old_sig"))
+    val n = newDf.select(col(idCol).as("id"), sig(col(textCol)).as("new_sig"))
     o.join(n, Seq("id"), "full_outer")
       .withColumn("status",
         when(col("old_sig").isNull, "added")

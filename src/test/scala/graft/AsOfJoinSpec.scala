@@ -81,6 +81,15 @@ class AsOfJoinSpec extends SparkSpec {
     }
   }
 
+  test("lastPriorSharded fails fast on a payload/left column collision") {
+    val left = Seq(("a", ts(5), 9.9)).toDF("k", "ts", "pay")
+    val right = Seq(("a", ts(3), 1.5)).toDF("k", "ts", "pay")
+    val e = intercept[IllegalArgumentException] {
+      AsOfJoin.lastPriorSharded(left, right, Seq("k"), "ts", Seq("pay"), 3600L)
+    }
+    assert(e.getMessage.contains("collides"))
+  }
+
   test("one shuffle: no cartesian/range explosion in the plan") {
     val left = spark.range(100).select(
       (col("id") % 5).cast("string").as("k"),

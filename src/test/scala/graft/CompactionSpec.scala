@@ -43,6 +43,24 @@ class CompactionSpec extends SparkSpec {
     assert(rows(compact.edges.get) == rows(state.edges.get))
   }
 
+  test("re-compacting the same root reads epoch N while writing N+1 — no self-overwrite") {
+    val base = turns.where(col("conv_id") < convs(convs.size / 2)).as[Turn]
+    val state = Pipeline.bootstrapState(Pipeline.allMentions(base, dictBc, vecsBc))
+    val root = tmp("graft-recompact")
+    val c1 = Pipeline.compactState(state, root, buckets = 4, label = "re")
+    // second compaction over the FIRST compaction's frames, same root —
+    // the fixed-layout version DROPped and overwrote the very tables c1
+    // is reading from
+    val c2 = Pipeline.compactState(c1, root, buckets = 4, label = "re")
+    assert(c2.mentions.count() == state.mentions.count())
+    assert(c2.clusters.collect().map(_.toSeq).sortBy(_.toString).toSeq ==
+           state.clusters.collect().map(_.toSeq).sortBy(_.toString).toSeq)
+    // and c1 is still readable after c2 wrote (distinct epochs on disk)
+    assert(c1.mentions.count() == state.mentions.count())
+    val epochs = new java.io.File(root).listFiles().map(_.getName).filter(_.startsWith("epoch_"))
+    assert(epochs.toSet == Set("epoch_1", "epoch_2"))
+  }
+
   test("increment over a compacted state == over the original == from-scratch") {
     val split = convs(convs.size * 3 / 4)
     val base = turns.where(col("conv_id") < split).as[Turn]

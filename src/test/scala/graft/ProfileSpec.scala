@@ -12,6 +12,15 @@ class ProfileSpec extends SparkSpec {
     (None, Some("en"), 40L)
   ).toDF("id", "lang", "n")
 
+  test("exotic column names (quotes, backticks, spaces) survive the unpivot") {
+    val weird = Seq((1L, 2L), (3L, 4L)).toDF("user's score", "a`b c")
+    val p = Profile.profile(weird, Seq("user's score", "a`b c"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(p.keySet == Set("user's score", "a`b c"))
+    assert(p("user's score").getLong(1) == 2L)
+    assert(p("a`b c").getString(5) == "4")
+  }
+
   test("one pass computes per-column nulls, distincts, ranges, and numeric center") {
     val p = Profile.profile(df, Seq("id", "lang", "n"))
       .collect().map(r => r.getString(0) -> r).toMap

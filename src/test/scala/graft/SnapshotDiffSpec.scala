@@ -29,6 +29,22 @@ class SnapshotDiffSpec extends SparkSpec {
                        ("added", true, false)))
   }
 
+  test("null text is a value, not absence: unchanged-null excluded, null transitions classified") {
+    val o = Seq((1L, Option("alpha")), (2L, Option.empty[String]),
+                (3L, Option.empty[String])).toDF("doc_id", "text")
+    val n = Seq((1L, Option("alpha")), (2L, Option.empty[String]),
+                (4L, Option.empty[String])).toDF("doc_id", "text")
+    val d = SnapshotDiff.diff(o, n, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // 2 (null -> null) is unchanged, NOT 'added'; 3 (null text removed)
+    // is 'removed'; 4 (added with null text) is 'added'
+    assert(d == Map(3L -> "removed", 4L -> "added"))
+    val chg = SnapshotDiff.diff(o,
+        Seq((2L, Option("now real"))).toDF("doc_id", "text"), "doc_id", "text")
+      .where($"id" === 2L).collect().map(_.getString(1)).toSeq
+    assert(chg == Seq("changed"), "null -> real text must read as changed")
+  }
+
   test("identical snapshots diff to empty; disjoint snapshots to full") {
     assert(SnapshotDiff.diff(oldSnap, oldSnap, "doc_id", "text").isEmpty)
     val disjoint = SnapshotDiff.diff(
