@@ -1019,7 +1019,7 @@ object SparkEntry {
     // BEFORE paying for the join.
     "q72_banding_plan" -> ((s, dir) =>
       operators.Dedup.bandingPlan(docs(s, dir), "doc_id", "text",
-          threshold = 0.6, sampleFrac = 0.25)
+          threshold = 0.6, sampleFrac = 0.1)
         .orderBy(desc("band_rows"))),
   )
 
@@ -2170,13 +2170,13 @@ object SparkEntry {
         |       round(0.15*jw + 0.05*lev + 0.15*cos + 0.15*pov + 0.5*agree, 5) AS score
         |FROM f ORDER BY a_id""".stripMargin,
 
-    // Sample = the q45 md5-cell predicate (frac 0.25 -> bound '40');
+    // Sample = the q45 md5-cell predicate (frac 0.1 -> bound '1a');
     // pairwise Jaccard via q20's shingle CTEs, rounded 4dp BEFORE pow so
     // both engines exponentiate identical inputs.
     "q72_banding_plan" ->
       """WITH sd AS (
         |  SELECT doc_id, text FROM documents
-        |  WHERE substr(md5(doc_id::VARCHAR || 'plan'), 1, 2) < '40'),
+        |  WHERE substr(md5(doc_id::VARCHAR || 'plan'), 1, 2) < '1a'),
         |t AS (
         |  SELECT doc_id, unnest(regexp_extract_all(lower(text),'[a-z0-9]+')) AS tok,
         |         generate_subscripts(regexp_extract_all(lower(text),'[a-z0-9]+'),1) AS pos
