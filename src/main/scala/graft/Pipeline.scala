@@ -416,21 +416,44 @@ object Pipeline {
                    label: String = "state"): IncrementState = {
     val spark = state.mentions.sparkSession
     val app = spark.sparkContext.applicationId.replaceAll("[^a-zA-Z0-9_]", "_")
-    val prior = Option(new java.io.File(root).listFiles())
-      .map(_.toSeq.map(_.getName)
+    // epoch discovery via Hadoop FileSystem, not java.io.File — File
+    // returns null for any non-local root (hdfs://, s3a://), which made
+    // `prior` empty and every compaction overwrite epoch_1: the exact
+    // self-overwrite-while-reading hazard the epochs exist to prevent,
+    // failing silently (round-5 ADVICE, medium).
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val prior =
+      if (!fs.exists(rootPath)) Seq.empty
+      else fs.listStatus(rootPath).toSeq.map(_.getPath.getName)
         .filter(_.startsWith("epoch_"))
-        .flatMap(n => scala.util.Try(n.stripPrefix("epoch_").toInt).toOption))
-      .getOrElse(Seq.empty)
+        .flatMap(n => scala.util.Try(n.stripPrefix("epoch_").toInt).toOption)
     val epoch = (prior :+ 0).max + 1
     def write(df: DataFrame, n: String, key: String) =
       sources.TableIO.writeBucketed(df, s"graft_${label}_${n}_e${epoch}_$app",
                                     s"$root/epoch_$epoch/$n", Seq(key), buckets)
-    IncrementState(
-      mentions = write(state.mentions, "mentions", "mention_id"),
-      keyed = write(state.keyed, "keyed", "block_key"),
-      reps = write(state.reps, "reps", "rep_id"),
-      clusters = write(state.clusters, "clusters", "mention_id"),
-      edges = state.edges.map(e => write(e, "edges", "src")))
+    // The five rewrites are INDEPENDENT jobs over already-materialized
+    // frames (bootstrap/apply localCheckpoint their outputs) writing to
+    // disjoint paths/table names — run them from a small thread pool so
+    // each job's straggler tail back-fills with the next job's tasks
+    // (guide §2.6) instead of serializing five write barriers.
+    import scala.concurrent.{Await, Future, ExecutionContext}
+    import scala.concurrent.duration.Duration
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
+    try {
+      val fMentions = Future(write(state.mentions, "mentions", "mention_id"))
+      val fKeyed = Future(write(state.keyed, "keyed", "block_key"))
+      val fReps = Future(write(state.reps, "reps", "rep_id"))
+      val fClusters = Future(write(state.clusters, "clusters", "mention_id"))
+      val fEdges = state.edges.map(e => Future(write(e, "edges", "src")))
+      IncrementState(
+        mentions = Await.result(fMentions, Duration.Inf),
+        keyed = Await.result(fKeyed, Duration.Inf),
+        reps = Await.result(fReps, Duration.Inf),
+        clusters = Await.result(fClusters, Duration.Inf),
+        edges = fEdges.map(Await.result(_, Duration.Inf)))
+    } finally pool.shutdown()
   }
 
   /** Append-only INCREMENTAL maintenance of a clustered corpus — the

@@ -201,7 +201,13 @@ object QueryLib {
       |         regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
       |  FROM documents)""".stripMargin
 
-  /** Spark-side tokens column for documents. */
+  /** Spark-side tokens column for documents — fanned out to the core
+    * count first (operators.Fanout): the sf fixtures are single-row-group
+    * files whose scan is ONE task, so every tokenize-heavy consumer
+    * (q07/q08/q19/q22/q23/q33/q58) would otherwise run its regex kernel
+    * on one core. No-op at production scan sizes; all consumers aggregate
+    * exactly (counts/md5/per-row math), so partition order is immaterial. */
   def docsWithTokens(spark: SparkSession, sfDir: String): DataFrame =
-    docs(spark, sfDir).withColumn("toks", TextFns.tokens(col("text")))
+    operators.Fanout(docs(spark, sfDir))
+      .withColumn("toks", TextFns.tokens(col("text")))
 }

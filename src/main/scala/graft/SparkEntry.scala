@@ -25,7 +25,10 @@ object SparkEntry {
     // ---- generic relational operators (scan, agg, join, window) ----
 
     "q01_lineitem_agg" -> ((s, dir) => {
-      s.read.parquet(s"$dir/lineitem.parquet")
+      // Fanout: the sf lineitem file is one row group → a one-task scan
+      // feeding the aggregate; sums are DECIMAL (exact, order-free).
+      // No-op at production scan sizes (Fanout Scaladoc).
+      operators.Fanout(s.read.parquet(s"$dir/lineitem.parquet"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
           sum(col("l_quantity").cast("decimal(18,4)")).cast("double").as("sum_qty"),
@@ -35,7 +38,7 @@ object SparkEntry {
     }),
 
     "q02_orders_by_segment" -> ((s, dir) => {
-      val orders = s.read.parquet(s"$dir/orders.parquet")
+      val orders = operators.Fanout(s.read.parquet(s"$dir/orders.parquet"))
       val cust = s.read.parquet(s"$dir/customer.parquet")
       orders.join(broadcast(cust), orders("o_custkey") === cust("c_custkey"))
         .groupBy("c_mktsegment")
@@ -101,7 +104,7 @@ object SparkEntry {
         .orderBy(desc("cnt"), asc("tok"))),
 
     "q09_bigram_freq" -> ((s, dir) =>
-      docs(s, dir)
+      operators.Fanout(docs(s, dir))
         .select(explode(TextFns.bigrams(TextFns.tokens(col("text")))).as("bg"))
         .groupBy("bg").agg(count(lit(1)).as("cnt"))
         .orderBy(desc("cnt"), asc("bg"))
@@ -117,7 +120,7 @@ object SparkEntry {
     // ~10²-10³ surfaces → ≤10⁶ pairs/block, uniform keys, and the pair
     // volume scales ~linearly with vocab until prefixes saturate.
     "q10_levenshtein" -> ((s, dir) => {
-      val surfs = docs(s, dir)
+      val surfs = operators.Fanout(docs(s, dir))
         .select(explode(TextFns.bigrams(TextFns.tokens(col("text")))).as("srf"))
         .distinct()
         .withColumn("pfx", substring(col("srf"), 1, 2))
@@ -130,7 +133,7 @@ object SparkEntry {
     }),
 
     "q11_jaro_winkler" -> ((s, dir) => {
-      val surfs = docs(s, dir)
+      val surfs = operators.Fanout(docs(s, dir))
         .select(explode(TextFns.bigrams(TextFns.tokens(col("text")))).as("srf"))
         .distinct()
         .withColumn("pfx", substring(col("srf"), 1, 2))
@@ -276,7 +279,7 @@ object SparkEntry {
     // of pinning its whole partition to one task.
     "q28_prior_etl" -> ((s, dir) => {
       import s.implicits._
-      val anchors = docs(s, dir)
+      val anchors = operators.Fanout(docs(s, dir))
         .select(explode(TextFns.bindArray(TextFns.tokens(col("text")), tk =>
           when(size(tk) >= 2,
             transform(sequence(lit(0), size(tk) - 2),
@@ -361,7 +364,10 @@ object SparkEntry {
     // hash bit-for-bit in SQL.
     "q33_winnow_fingerprint" -> ((s, dir) => {
       import s.implicits._
-      docs(s, dir).select(col("doc_id"), col("text")).as[(Long, String)]
+      // Fanout: the winnow kernel (one md5 per char-5-gram) is the most
+      // expensive per-row map in the file — a one-task scan serializes it
+      operators.Fanout(docs(s, dir).select(col("doc_id"), col("text")))
+        .as[(Long, String)]
         .flatMap { case (id, text) =>
           val hs = TextFns.winnowHashes(text, 5, 8)
           if (hs.isEmpty) None
@@ -482,7 +488,7 @@ object SparkEntry {
     // ROLLUP / grouping sets: subtotal + grand-total rows in one pass
     // (partial-agg friendly — no union of separate aggregations).
     "q39_rollup" -> ((s, dir) => {
-      s.read.parquet(s"$dir/lineitem.parquet")
+      operators.Fanout(s.read.parquet(s"$dir/lineitem.parquet"))
         .rollup("l_returnflag", "l_linestatus")
         .agg(sum(col("l_quantity").cast("decimal(18,4)")).cast("double").as("sum_qty"),
              count(lit(1)).as("n"))
@@ -556,10 +562,21 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_purchase"),
              round(sum(col("value").cast("decimal(18,6)")).cast("double"), 4)
                .as("purchase_value"))
-      val tf = sources.TableIO.writeBucketed(
-        facts, s"graft_q43_facts_$appTag", s"$base/facts", Seq("user_id"), 8)
-      val td = sources.TableIO.writeBucketed(
-        dim, s"graft_q43_dim_$appTag", s"$base/dim", Seq("user_id"), 8)
+      // the two bucketed writes are independent jobs on disjoint
+      // paths/table names — overlap them (guide §2.6) instead of paying
+      // two serial write barriers
+      import scala.concurrent.{Await, Future, ExecutionContext}
+      import scala.concurrent.duration.Duration
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
+      val (tf, td) =
+        try {
+          val fF = Future(sources.TableIO.writeBucketed(
+            facts, s"graft_q43_facts_$appTag", s"$base/facts", Seq("user_id"), 8))
+          val fD = Future(sources.TableIO.writeBucketed(
+            dim, s"graft_q43_dim_$appTag", s"$base/dim", Seq("user_id"), 8))
+          (Await.result(fF, Duration.Inf), Await.result(fD, Duration.Inf))
+        } finally pool.shutdown()
       tf.join(td, Seq("user_id"))
         .select(col("event_id"), col("user_id"), col("n_purchase"), col("purchase_value"))
         .orderBy("event_id")
@@ -716,7 +733,7 @@ object SparkEntry {
     // CUBE: all four grouping sets of a 2-key aggregate in one pass —
     // rollup's (q39) sibling, completing the grouping-sets family.
     "q52_cube" -> ((s, dir) =>
-      s.read.parquet(s"$dir/lineitem.parquet")
+      operators.Fanout(s.read.parquet(s"$dir/lineitem.parquet"))
         .cube("l_returnflag", "l_linestatus")
         .agg(sum(col("l_quantity").cast("decimal(18,4)")).cast("double").as("sum_qty"),
              count(lit(1)).as("n"))
@@ -1852,7 +1869,7 @@ object SparkEntry {
     "q61_profile" ->
       """SELECT * FROM (
         |  SELECT 'doc_id' AS col_name, count(*) AS n,
-        |         sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS n_null,
+        |         CAST(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
         |         count(DISTINCT doc_id) AS n_distinct,
         |         cast(min(doc_id) AS varchar) AS min_v,
         |         cast(max(doc_id) AS varchar) AS max_v,
@@ -1861,14 +1878,14 @@ object SparkEntry {
         |  FROM documents
         |  UNION ALL
         |  SELECT 'lang', count(*),
-        |         sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END),
+        |         CAST(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT),
         |         count(DISTINCT lang),
         |         cast(min(lang) AS varchar), cast(max(lang) AS varchar),
         |         NULL, NULL
         |  FROM documents
         |  UNION ALL
         |  SELECT 'n_chars', count(*),
-        |         sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END),
+        |         CAST(sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT),
         |         count(DISTINCT n_chars),
         |         cast(min(n_chars) AS varchar), cast(max(n_chars) AS varchar),
         |         round(avg(n_chars), 6), round(quantile_cont(n_chars, 0.5), 6)

@@ -44,14 +44,21 @@ object Blocking {
   def withBlockKeys(mentions: Dataset[Mention], lsh: LshConfig = LshConfig()): DataFrame = {
     val spark = mentions.sparkSession
     import spark.implicits._
-    mentions.flatMap { m =>
-      val exact = "nm:" + m.norm
-      val shingles = MinHash.charNgrams(m.norm, lsh.charNgram)
-      val sig = MinHash.signature(shingles, lsh.k)
-      val bandKeys = MinHash.bandKeys(sig, lsh.bands, lsh.rows)
-      val entKeys = m.candidates.map(c => "ent:" + c.entity)
-      (exact +: (bandKeys ++ entKeys).toSeq).distinct.map(k => (k, m.mention_id))
-    }.toDF("block_key", "mid")
+    // project to exactly the three fields the key kernel reads BEFORE
+    // the opaque flatMap (guide §2.3): a typed flatMap over the full
+    // Mention defeats column pruning and decodes the 32-float ctx
+    // vector + full candidate structs per row for nothing
+    mentions.select(col("mention_id"), col("norm"),
+        col("candidates.entity").as("ents"))
+      .as[(String, String, Seq[String])]
+      .flatMap { case (mid, norm, ents) =>
+        val exact = "nm:" + norm
+        val shingles = MinHash.charNgrams(norm, lsh.charNgram)
+        val sig = MinHash.signature(shingles, lsh.k)
+        val bandKeys = MinHash.bandKeys(sig, lsh.bands, lsh.rows)
+        val entKeys = ents.map("ent:" + _)
+        (exact +: (bandKeys ++ entKeys)).distinct.map(k => (k, mid))
+      }.toDF("block_key", "mid")
   }
 
   /** Join the scoring payload back onto deduped id pairs (two hash joins;

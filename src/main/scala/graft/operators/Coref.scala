@@ -175,8 +175,10 @@ object Coref {
     import org.apache.spark.sql.functions._
     val bloomBc = spark.sparkContext.broadcast(
       MentionDetect.dictKeyBloom(dictDf, expectedDictKeys, bloomFpp))
+    val masksBc = spark.sparkContext.broadcast(
+      MentionDetect.dictFirstTokenMasks(dictDf))
 
-    val convForms = MentionDetect.bloomSurvivorForms(turns, bloomBc)
+    val convForms = MentionDetect.bloomSurvivorForms(turns, bloomBc, masksBc)
       .select(col("conv_id"), col("form")).distinct()
     val convDicts = convForms
       .join(dictDf.toDF(), convForms("form") === dictDf("mention"))
@@ -213,6 +215,11 @@ object Coref {
     val out = scala.collection.mutable.ListBuffer.empty[Mention]
     // mentions of earlier turns, most recent first; token forms lowercased
     var seenRev = List.empty[(Mention, Array[String])]
+    // running max of seen surface token-lengths — O(1) per turn instead of
+    // the full seenRev scan the round-5 shape paid per turn (O(T·M) on
+    // long conversations; the sfDir fixtures carry thousands of mentions
+    // per conversation, so the scan dominated the whole mention stage)
+    var seenMaxLen = 0
     // Conservative SUPERSET of the tokens occurring in seen surfaces: a
     // gram can only match a contiguous surface run if every gram token is
     // a surface token, so one hash probe per position rejects the
@@ -227,8 +234,7 @@ object Coref {
     var mi = 0
     turnsSorted.foreach { t =>
       // longest inheritable n-gram = longest seen surface minus one token
-      val maxN = if (seenRev.isEmpty) 0
-                 else seenRev.iterator.map(_._2.length).max - 1
+      val maxN = seenMaxLen - 1
       val toks = MentionDetect.tokenizeCased(if (t.text == null) "" else t.text)
       val lowerToks = toks.map(_.toLowerCase)
       // positions covered by detected mentions of THIS turn
@@ -282,19 +288,25 @@ object Coref {
       // this turn's detected mentions become inheritance sources for later
       // turns — prepended so the NEAREST preceding mention is found first
       val miStart = mi
+      var newBlock = List.empty[(Mention, Array[String])]
       while (mi < msSorted.length && msSorted(mi).turn_idx == t.turn_idx) {
         val m = msSorted(mi)
         val surfToks = m.surface.toLowerCase.split(" ")
         surfToks.foreach(seenTokens += _)
-        seenRev = (m, surfToks) :: seenRev
+        if (surfToks.length > seenMaxLen) seenMaxLen = surfToks.length
+        newBlock = (m, surfToks) :: newBlock
         mi += 1
       }
-      // deterministic nearest-first order: (turn_idx desc, begin desc, norm asc);
-      // cap at the maxSeen nearest (streaming-parity bound — see `inherited`).
-      // Re-sorting is only needed when this turn added sources.
-      if (mi != miStart)
-        seenRev = seenRev.sortBy { case (m, _) => (-m.turn_idx, -m.begin, m.norm) }
-          .take(maxSeen)
+      // deterministic nearest-first order: (turn_idx desc, begin desc,
+      // norm asc); cap at the maxSeen nearest (streaming-parity bound —
+      // see `inherited`). This turn's block sorts AS A WHOLE before every
+      // already-seen mention (its turn_idx is strictly larger), so
+      // sorting just the block and prepending IS the full-list re-sort —
+      // minus the O(M log M)-per-turn cost the round-5 shape paid.
+      if (mi != miStart) {
+        seenRev = newBlock.sortBy { case (m, _) => (-m.begin, m.norm) } ::: seenRev
+        if (maxSeen != Int.MaxValue) seenRev = seenRev.take(maxSeen)
+      }
     }
     out.toList
   }

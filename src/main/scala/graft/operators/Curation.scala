@@ -45,9 +45,14 @@ object Curation {
       granularity: Int = 16,
       shardHexChars: Int = 1)
 
-  def curate(corpus: DataFrame, benchmark: DataFrame,
+  def curate(corpus0: DataFrame, benchmark: DataFrame,
              idCol: String, clsCol: String, textCol: String,
              cfg: CurationConfig = CurationConfig()): DataFrame = {
+    // fan the corpus out to the core count once, up front: every stage
+    // below is a per-row kernel (md5, gram explode, 4-regex redaction
+    // chain, tokenize) that a single-row-group source would run on one
+    // core (Fanout Scaladoc; no-op at production scan sizes)
+    val corpus = Fanout(corpus0)
     val reps = Dedup.exact(corpus, idCol, textCol)
       .where(col("id") === col("rep_id"))
       .select(col("id").as(idCol))

@@ -42,10 +42,13 @@ object Decontaminate {
           i => concat_ws(" ", slice(tk, i + 1, lit(n)))))
       .otherwise(array().cast("array<string>")))
 
-  /** Per-doc DISTINCT (id, gram) frame — map-only. */
+  /** Per-doc DISTINCT (id, gram) frame — map-only (fanned out to the
+    * core count first: the tokenize+gram kernel on a single-row-group
+    * source would run on one core; no-op at production scan sizes). */
   def gramSet(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
-    df.select(col(idCol).as("id"),
-              explode(array_distinct(ngrams(TextFns.tokens(col(textCol)), n))).as("gram"))
+    Fanout(df.select(col(idCol).as("id"), col(textCol).as("_t")))
+      .select(col("id"),
+              explode(array_distinct(ngrams(TextFns.tokens(col("_t")), n))).as("gram"))
 
   /** Corpus documents sharing ≥1 n-gram with the benchmark set.
     * Output: (id, n_hit_grams = distinct contaminating grams,

@@ -68,7 +68,12 @@ object Dedup {
       if (bands > 0 && rows > 0) (bands, rows) else autoBanding(k, threshold)
     val spark = df.sparkSession
     import spark.implicits._
-    val docs = df.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+    // slim (id, text) rows fanned out to the core count before the
+    // shingle+signature kernel — the 128-hash map pass is the operator's
+    // dominant cost and a single-row-group source would run it on one
+    // core (Fanout Scaladoc; no-op at production scan sizes)
+    val docs = Fanout(
+        df.select(col(idCol).cast("long").as("id"), col(textCol).as("text")))
       .as[(Long, String)]
     // ONE tokenize+shingle pass over the text column (round-3 "What's
     // wrong" #3: band keys and the verify join each re-shingled every
@@ -146,7 +151,7 @@ object Dedup {
     val spark = base.sparkSession
     import spark.implicits._
     def shingleFrame(df: DataFrame): DataFrame = graft.CacheTracker.register(
-      df.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+      Fanout(df.select(col(idCol).cast("long").as("id"), col(textCol).as("text")))
         .as[(Long, String)]
         .map { case (id, text) => (id, shingles(text, shingleN).toArray) }
         .toDF("id", "sh")
@@ -255,7 +260,8 @@ object Dedup {
     import spark.implicits._
     // zero-token docs are excluded (their simhash would be the degenerate
     // all-zero signature; a SQL oracle's unnest-join excludes them too)
-    val sigs = df.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+    val sigs = Fanout(
+        df.select(col(idCol).cast("long").as("id"), col(textCol).as("text")))
       .as[(Long, String)]
       .flatMap { case (id, text) =>
         val toks = TextFns.TokenPattern.r.findAllIn(text.toLowerCase).toSeq
@@ -350,8 +356,8 @@ object Dedup {
     // persisted so the corpus is tokenized once (the arrays are the same
     // weight class minhashPairs already persists as shingles)
     val toks = graft.CacheTracker.register(
-      df.select(col(idCol).cast("long").as("id"),
-                TextFns.tokens(col(textCol)).as("tk"))
+      Fanout(df.select(col(idCol).cast("long").as("id"), col(textCol).as("_t")))
+        .select(col("id"), TextFns.tokens(col("_t")).as("tk"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val grams = graft.CacheTracker.register(
       toks.select(col("id"),

@@ -333,8 +333,9 @@ object MentionDetect {
     import spark.implicits._
     val bloomBc = spark.sparkContext.broadcast(
       dictKeyBloom(dictDf, expectedDictKeys, bloomFpp))
+    val masksBc = spark.sparkContext.broadcast(dictFirstTokenMasks(dictDf))
 
-    val cands = bloomSurvivorForms(turns, bloomBc)
+    val cands = bloomSurvivorForms(turns, bloomBc, masksBc)
 
     val matched = cands
       .join(dictDf.toDF(), cands("form") === dictDf("mention"))
@@ -360,15 +361,44 @@ object MentionDetect {
     * [[cascadeForms]] against a broadcast Bloom of the dictionary keys;
     * only survivors leave the mapper, deduped per turn, as slim
     * (conv_id, turn_idx, form) rows. Shared by [[runJoined]] (turn-level
-    * regroup) and Coref.detectAndInheritJoined (conv-level regroup). */
+    * regroup) and Coref.detectAndInheritJoined (conv-level regroup).
+    * `masksBc` (from [[dictFirstTokenMasks]]) prunes span enumeration the
+    * same way the broadcast path's [[firstTokenMasks]] does. */
   private[operators] def bloomSurvivorForms(
       turns: Dataset[Turn],
-      bloomBc: Broadcast[org.apache.spark.util.sketch.BloomFilter]): DataFrame = {
+      bloomBc: Broadcast[org.apache.spark.util.sketch.BloomFilter],
+      masksBc: Broadcast[Map[String, Int]] = null): DataFrame = {
     val spark = turns.sparkSession
     import spark.implicits._
     turns.flatMap { t =>
-      probeForms(t.text, bloomBc.value).map(f => (t.conv_id, t.turn_idx, f))
+      val masks = if (masksBc == null) null else masksBc.value
+      probeForms(t.text, bloomBc.value, masks).map(f => (t.conv_id, t.turn_idx, f))
     }.toDF("conv_id", "turn_idx", "form")
+  }
+
+  /** First-token length masks of a DISTRIBUTED dictionary — the joined
+    * paths' analogue of [[firstTokenMasks]]: one slim aggregation over
+    * the dimension table's key column yields (lowercased first token →
+    * bitmask of entry token counts), collected and broadcast beside the
+    * Bloom. Size is bounded by DISTINCT FIRST TOKENS (≪ keys; a few MB
+    * at a 10M-key dictionary — the Bloom's own weight class), and the
+    * aggregation is map-side partial. Pruning with it is a SUPERSET
+    * filter exactly like the Bloom: every true dictionary key's span has
+    * its first token + length bit present, so the survivor set after the
+    * dictionary join — hence the mention output — is unchanged; the win
+    * is skipping the O(MaxNgram · tokens) span builds + cascade + Bloom
+    * probes at every position whose token starts no dictionary key. */
+  private[graft] def dictFirstTokenMasks(dictDf: Dataset[DictEntry]): Map[String, Int] = {
+    import org.apache.spark.sql.functions._
+    dictDf.toDF()
+      .select(lower(substring_index(col("mention"), " ", 1)).as("first"),
+              size(split(col("mention"), " ")).as("n"))
+      .where(col("n") <= MaxNgram && col("n") >= 1)
+      .groupBy("first")
+      .agg(bit_or(expr("shiftleft(1, n - 1)")).as("mask"))
+      .collect()
+      .map(r => r.getString(0) -> r.getInt(1))
+      .toMap
   }
 
   /** Bloom filter over the dictionary's key column, shared by every
@@ -397,24 +427,40 @@ object MentionDetect {
     * (stream-static join path). */
   private[graft] def probeForms(
       text: String,
-      bloom: org.apache.spark.util.sketch.BloomFilter): Iterator[String] = {
+      bloom: org.apache.spark.util.sketch.BloomFilter,
+      masks: Map[String, Int] = null): Iterator[String] = {
     val toks = tokenizeCased(if (text == null) "" else text)
     val n = toks.length
+    // per-position length mask (one hash probe per token), the same
+    // pruning `detect` does: span (i, size) is enumerated only when some
+    // dictionary key of that token count starts with toks(i). masks ==
+    // null (no sketch supplied) degrades to probe-everything.
+    val posMask =
+      if (masks == null) null
+      else {
+        val a = new Array[Int](n)
+        var p = 0
+        while (p < n) { a(p) = masks.getOrElse(toks(p).toLowerCase, 0); p += 1 }
+        a
+      }
     val forms = scala.collection.mutable.HashSet.empty[String]
     var size = 1
     while (size <= MaxNgram) {
+      val bit = 1 << (size - 1)
       var i = 0
       while (i + size <= n) {
-        val raw =
-          if (size == 1) toks(i)
-          else {
-            val sb = new java.lang.StringBuilder(toks(i))
-            var k = i + 1
-            while (k < i + size) { sb.append(' ').append(toks(k)); k += 1 }
-            sb.toString
+        if (posMask == null || (posMask(i) & bit) != 0) {
+          val raw =
+            if (size == 1) toks(i)
+            else {
+              val sb = new java.lang.StringBuilder(toks(i))
+              var k = i + 1
+              while (k < i + size) { sb.append(' ').append(toks(k)); k += 1 }
+              sb.toString
+            }
+          cascadeForms(raw).foreach { f =>
+            if (bloom.mightContain(f)) forms += f
           }
-        cascadeForms(raw).foreach { f =>
-          if (bloom.mightContain(f)) forms += f
         }
         i += 1
       }

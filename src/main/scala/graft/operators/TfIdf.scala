@@ -42,9 +42,11 @@ object TfIdf {
     * document, `tfidf` rounded to 6 places for stable comparison. */
   def topTerms(docs: DataFrame, idCol: String, textCol: String,
                k: Int = 5): DataFrame = {
-    val terms = docs
-      .select(col(idCol).as("id"),
-              explode(TextFns.tokens(col(textCol))).as("term"))
+    // slim (id, text) fanned out before the tokenize+explode kernel — a
+    // single-row-group source would run the whole regex pass on one core
+    // (Fanout Scaladoc; no-op at production scan sizes)
+    val terms = Fanout(docs.select(col(idCol).as("id"), col(textCol).as("_t")))
+      .select(col("id"), explode(TextFns.tokens(col("_t"))).as("term"))
       .groupBy("id", "term").agg(count(lit(1)).as("tf"))
     val dfs = terms.groupBy("term").agg(count(lit(1)).as("df"))
     // N is a scalar: one count of the doc table, joined in as a literal
