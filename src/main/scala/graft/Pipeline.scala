@@ -87,8 +87,9 @@ object Pipeline {
       // this is the stage-A checkpoint table (runCheckpointed).
       import org.apache.spark.storage.StorageLevel
       val msP = CacheTracker.register(ms.persist(StorageLevel.MEMORY_AND_DISK))
-      val (scoringMs0, memberEdges) =
+      val (scoringMs0, memberEdges) = PhaseTimer.timed("supernode") {
         if (cfg.supernode) supernodeCollapse(msP, cfg) else (msP, None)
+      }
       val scoringMs = CacheTracker.register(scoringMs0.persist(StorageLevel.MEMORY_AND_DISK))
       val keyed = Blocking.withBlockKeys(scoringMs, cfg.lsh)
       val pairIds = Blocking.candidatePairs(keyed, cfg.tau, cfg.blockMaxSize,
@@ -98,7 +99,9 @@ object Pipeline {
       // of the stage table runCheckpointed writes), then release every
       // intermediate cache — callers get a self-contained frame and repeated
       // cluster() calls in one session no longer accumulate cached blocks.
-      val out = assemble(msP.toDF(), scored, memberEdges, cfg).localCheckpoint(true)
+      val out = PhaseTimer.timed("assemble_ckpt") {
+        assemble(msP.toDF(), scored, memberEdges, cfg).localCheckpoint(true)
+      }
       CacheTracker.drainUnpersist()
       out
     }
@@ -111,7 +114,9 @@ object Pipeline {
     * stay min-member. */
   private def assemble(msDf: DataFrame, scored: DataFrame,
                        memberEdges: Option[DataFrame], cfg: Config): DataFrame = {
-    val assign = Clustering.connectedComponents(scored, cfg.ccMaxIter)
+    val assign = PhaseTimer.timed("cc") {
+      Clustering.connectedComponents(scored, cfg.ccMaxIter)
+    }
     val full = memberEdges match {
       case Some(me) =>
         val memberAssign = me
@@ -177,7 +182,7 @@ object Pipeline {
     // mention ids are ~25-byte strings, so 1M ≈ 25-50 MB serialized —
     // comfortably under executor broadcast budgets; 5M (round 1) risked
     // a 100-300 MB broadcast per executor.
-    val idRows = scoringIds.count()
+    val idRows = PhaseTimer.timed("scoring_ids_count") { scoringIds.count() }
     val idSide = if (idRows <= 1000000L) broadcast(scoringIds) else scoringIds
     val scoringMs = msDf
       .join(idSide, Seq("mention_id"), "left_semi")

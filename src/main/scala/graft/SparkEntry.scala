@@ -25,10 +25,7 @@ object SparkEntry {
     // ---- generic relational operators (scan, agg, join, window) ----
 
     "q01_lineitem_agg" -> ((s, dir) => {
-      // Fanout: the sf lineitem file is one row group → a one-task scan
-      // feeding the aggregate; sums are DECIMAL (exact, order-free).
-      // No-op at production scan sizes (Fanout Scaladoc).
-      operators.Fanout(s.read.parquet(s"$dir/lineitem.parquet"))
+      s.read.parquet(s"$dir/lineitem.parquet")
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
           sum(col("l_quantity").cast("decimal(18,4)")).cast("double").as("sum_qty"),
@@ -38,7 +35,7 @@ object SparkEntry {
     }),
 
     "q02_orders_by_segment" -> ((s, dir) => {
-      val orders = operators.Fanout(s.read.parquet(s"$dir/orders.parquet"))
+      val orders = s.read.parquet(s"$dir/orders.parquet")
       val cust = s.read.parquet(s"$dir/customer.parquet")
       orders.join(broadcast(cust), orders("o_custkey") === cust("c_custkey"))
         .groupBy("c_mktsegment")
@@ -488,7 +485,7 @@ object SparkEntry {
     // ROLLUP / grouping sets: subtotal + grand-total rows in one pass
     // (partial-agg friendly — no union of separate aggregations).
     "q39_rollup" -> ((s, dir) => {
-      operators.Fanout(s.read.parquet(s"$dir/lineitem.parquet"))
+      s.read.parquet(s"$dir/lineitem.parquet")
         .rollup("l_returnflag", "l_linestatus")
         .agg(sum(col("l_quantity").cast("decimal(18,4)")).cast("double").as("sum_qty"),
              count(lit(1)).as("n"))
@@ -733,7 +730,7 @@ object SparkEntry {
     // CUBE: all four grouping sets of a 2-key aggregate in one pass —
     // rollup's (q39) sibling, completing the grouping-sets family.
     "q52_cube" -> ((s, dir) =>
-      operators.Fanout(s.read.parquet(s"$dir/lineitem.parquet"))
+      s.read.parquet(s"$dir/lineitem.parquet")
         .cube("l_returnflag", "l_linestatus")
         .agg(sum(col("l_quantity").cast("decimal(18,4)")).cast("double").as("sum_qty"),
              count(lit(1)).as("n"))

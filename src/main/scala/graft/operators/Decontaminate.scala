@@ -42,13 +42,10 @@ object Decontaminate {
           i => concat_ws(" ", slice(tk, i + 1, lit(n)))))
       .otherwise(array().cast("array<string>")))
 
-  /** Per-doc DISTINCT (id, gram) frame — map-only (fanned out to the
-    * core count first: the tokenize+gram kernel on a single-row-group
-    * source would run on one core; no-op at production scan sizes). */
+  /** Per-doc DISTINCT (id, gram) frame — map-only. */
   def gramSet(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
-    Fanout(df.select(col(idCol).as("id"), col(textCol).as("_t")))
-      .select(col("id"),
-              explode(array_distinct(ngrams(TextFns.tokens(col("_t")), n))).as("gram"))
+    df.select(col(idCol).as("id"),
+              explode(array_distinct(ngrams(TextFns.tokens(col(textCol)), n))).as("gram"))
 
   /** Corpus documents sharing ≥1 n-gram with the benchmark set.
     * Output: (id, n_hit_grams = distinct contaminating grams,
@@ -60,7 +57,11 @@ object Decontaminate {
     val benchGrams = gramSet(benchmark, idCol, textCol, n)
       .select("gram").distinct()
     val dim = if (broadcastBench) broadcast(benchGrams) else benchGrams
-    gramSet(corpus, idCol, textCol, n)
+    // CORPUS side only gets the scan-parallelism floor (Fanout): its
+    // tokenize+gram kernel is the 100-TB-side cost; fanning out the
+    // (small, curated) benchmark side is pure exchange overhead —
+    // measured as a q50/q68 regression when applied to both.
+    gramSet(Fanout(corpus.select(col(idCol), col(textCol))), idCol, textCol, n)
       .join(dim, "gram")
       .groupBy("id")
       .agg(count(lit(1)).as("n_hit_grams"), min("gram").as("first_gram"))

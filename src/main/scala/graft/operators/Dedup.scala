@@ -86,13 +86,20 @@ object Dedup {
         .toDF("id", "sh")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
-    val bandKeys = withShingles.as[(Long, Array[String])].flatMap { case (id, sh) =>
-      if (sh.isEmpty) Iterator.empty
-      else {
-        val sig = MinHash.signature(sh, k)
-        MinHash.bandKeys(sig, bandsEff, rowsEff).iterator.map(bk => (bk, id))
-      }
-    }.toDF("band_key", "id")
+    // persisted like the delta variant's bandsDelta: the band-key frame
+    // sits on BOTH sides of the self-join, and unpersisted the k-minhash
+    // signature pass — the operator's dominant map — runs twice (the
+    // cached SHINGLE frame does not cover the signature flatMap above
+    // it; plan-verified, 2 SerializeFromObject signature subtrees)
+    val bandKeys = graft.CacheTracker.register(
+      withShingles.as[(Long, Array[String])].flatMap { case (id, sh) =>
+        if (sh.isEmpty) Iterator.empty
+        else {
+          val sig = MinHash.signature(sh, k)
+          MinHash.bandKeys(sig, bandsEff, rowsEff).iterator.map(bk => (bk, id))
+        }
+      }.toDF("band_key", "id")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
     val cand = bandKeys.as("L").join(bandKeys.as("R"), Seq("band_key"))
       .where(col("L.id") < col("R.id"))
@@ -234,7 +241,12 @@ object Dedup {
     val bandings = Seq(16, 8, 4, 2, 1).filter(k % _ == 0)
     val planRows = bandings.map { r =>
       val b = k / r
-      val recall = math.rint((1.0 - math.pow(1.0 - math.pow(threshold, r), b)) * 1e6) / 1e6
+      // HALF_UP, matching DuckDB round() for positive values — math.rint
+      // is half-to-even and would diverge by 1e-6 on an exact .5e-7
+      // boundary (round-5 ADVICE; no current value sits on one, so this
+      // is oracle-neutral at every tested SF)
+      val recall = BigDecimal(1.0 - math.pow(1.0 - math.pow(threshold, r), b))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
       pairJac.agg(
         round(avg(lit(1.0) - pow(lit(1.0) - pow(col("j"), lit(r)), lit(b))), 6)
           .as("exp_cand_rate"),
@@ -269,9 +281,13 @@ object Dedup {
       }
       .toDF("id", "sim")
 
-    val keys = sigs.as[(Long, Long)].flatMap { case (id, sim) =>
-      MinHash.simhashBandKeys(sim, nBlocks, maxHamming).map(k => (k, id, sim))
-    }.toDF("band_key", "id", "sim")
+    // persisted for the same reason as minhashPairs' bandKeys: both
+    // self-join sides would otherwise re-run the md5-per-token simhash
+    val keys = graft.CacheTracker.register(
+      sigs.as[(Long, Long)].flatMap { case (id, sim) =>
+        MinHash.simhashBandKeys(sim, nBlocks, maxHamming).map(k => (k, id, sim))
+      }.toDF("band_key", "id", "sim")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
     keys.as("L").join(keys.as("R"), Seq("band_key"))
       .where(col("L.id") < col("R.id"))

@@ -55,7 +55,17 @@ object Mixture {
     totals
       .withColumn("frac",
         least(lit(1.0), budgetExpr.cast("double") / col("total_tokens")))
-      .withColumn("cells", round(col("frac") * CellsTotal, 0).cast("int"))
+      // floor at 1 cell for any POSITIVE fraction: round(frac·16^6) is 0
+      // below ~3e-8 (a 10^5-token budget against a 10^13-token class —
+      // plausible at 100 TB), silently dropping a positively-budgeted
+      // class against the documented invariant (round-5 ADVICE). At
+      // every tested SF round(...) >= 1 already, so this is
+      // oracle-neutral; the q66 oracle keeps the plain round, which is
+      // equal wherever the driver evaluates it.
+      .withColumn("cells",
+        when(col("frac") > 0,
+          greatest(lit(1), round(col("frac") * CellsTotal, 0).cast("int")))
+          .otherwise(lit(0)))
   }
 
   /** 16^6 cells (6 md5 hex chars). The 2-hex grid `Sampling.hashSample`
