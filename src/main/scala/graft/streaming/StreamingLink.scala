@@ -217,9 +217,13 @@ object StreamingLink {
     import org.apache.spark.sql.functions._
     val bloomBc = spark.sparkContext.broadcast(
       MentionDetect.dictKeyBloom(dictDf, expectedDictKeys, bloomFpp))
+    // first-token length masks prune the span enumeration exactly as in
+    // the batch joined path (superset filter — survivor set unchanged)
+    val masksBc = spark.sparkContext.broadcast(
+      MentionDetect.dictFirstTokenMasks(dictDf))
     val probes = turns.flatMap { t =>
       val text = if (t.text == null) "" else t.text
-      val fs = MentionDetect.probeForms(text, bloomBc.value).toSeq
+      val fs = MentionDetect.probeForms(text, bloomBc.value, masksBc.value).toSeq
       ("" +: fs).map(f => (t.conv_id, t.turn_idx, text, f))
     }.toDF("conv_id", "turn_idx", "text", "form")
     val joined = probes

@@ -133,6 +133,29 @@ class DedupSpec extends SparkSpec {
     assert(pick == Dedup.autoBanding(128, 0.6)._2)
   }
 
+  test("bandingPlan: row cap binds the sample; non-binding cap is identical") {
+    // non-binding cap (targetSampleRows >= corpus) == the uncapped plan:
+    // effFrac = sampleFrac, same md5-cell predicate, same sampled rows
+    val free = Dedup.bandingPlan(docs, "doc_id", "text",
+        threshold = 0.6, sampleFrac = 0.5, targetSampleRows = 1000000L)
+      .orderBy(desc("band_rows"))
+      .as[(Int, Int, Double, Double, Long)].collect().toSeq
+    val free2 = Dedup.bandingPlan(docs, "doc_id", "text",
+        threshold = 0.6, sampleFrac = 0.5, targetSampleRows = 999999999L)
+      .orderBy(desc("band_rows"))
+      .as[(Int, Int, Double, Double, Long)].collect().toSeq
+    assert(free == free2, "a non-binding cap must not change the plan")
+    // binding cap: the quadratic sample-pair count is bounded by
+    // ~C(targetSampleRows·(1+grid slack), 2) regardless of sampleFrac
+    val nDocs = docs.count()
+    val capped = Dedup.bandingPlan(docs, "doc_id", "text",
+        threshold = 0.6, sampleFrac = 1.0, targetSampleRows = nDocs / 4)
+      .as[(Int, Int, Double, Double, Long)].collect()
+    val maxRows = (nDocs / 4) * 3 / 2 + 2 // md5-cell binomial + grid slack
+    assert(capped.head._5 <= maxRows * (maxRows - 1) / 2,
+      s"capped sample pairs ${capped.head._5} exceed the row-cap bound")
+  }
+
   test("minhashPairsDelta never pairs base against base") {
     val base = Seq((1L, "a b c d e f"), (2L, "a b c d e f"),
                    (3L, "q w e r t y")).toDF("doc_id", "text")
