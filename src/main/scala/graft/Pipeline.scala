@@ -442,9 +442,14 @@ object Pipeline {
     // disjoint paths/table names — run them from a small thread pool so
     // each job's straggler tail back-fills with the next job's tasks
     // (guide §2.6) instead of serializing five write barriers.
+    // GRAFT_COMPACT_PARALLEL=0 collapses to serial writes — a
+    // measurement knob so one binary can A/B the overlap on identical
+    // state (same pattern as GRAFT_RETRACT_DELTA)
+    val threads =
+      if (sys.env.get("GRAFT_COMPACT_PARALLEL").contains("0")) 1 else 3
     import scala.concurrent.{Await, Future, ExecutionContext}
     import scala.concurrent.duration.Duration
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
     try {
       val fMentions = Future(write(state.mentions, "mentions", "mention_id"))
