@@ -25,6 +25,8 @@ object BenchExtra {
     QueryLib.docs(spark, sfDir).count()
     val out = scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
     names.foreach { name =>
+      if (!SparkEntry.queries.contains(name))
+        System.err.println(s"[benchextra] unknown query: $name (skipped)")
       SparkEntry.queries.get(name).foreach { fn =>
         val times = (1 to reps).map { rep =>
           // each rep recomputes from parquet (memoized stages evicted)

@@ -31,21 +31,20 @@ object CompactBench {
 
     val base = new java.io.File(sys.props("java.io.tmpdir"),
       s"graft_compactbench_${spark.sparkContext.applicationId}").getAbsolutePath
-    // private knob via reflection-free route: compactState reads the env
-    // once per call, so A/B within one JVM needs the knob inline — time
-    // both shapes by calling the SERIAL shape as 5 sequential
-    // writeBucketed calls (the exact pre-change code) and the PARALLEL
-    // shape as compactState itself.
+    // the serial arm is the same write set through writeBucketedAll at
+    // threads = 1 (the exact pre-change serial shape)
     def timeSerial(epochTag: String): Double = {
       val t0 = System.nanoTime()
-      def write(df: org.apache.spark.sql.DataFrame, n: String, key: String) =
-        sources.TableIO.writeBucketed(df, s"cb_ser_${n}_$epochTag",
-          s"$base/ser_$epochTag/$n", Seq(key), buckets)
-      write(state.mentions, "mentions", "mention_id")
-      write(state.keyed, "keyed", "block_key")
-      write(state.reps, "reps", "rep_id")
-      write(state.clusters, "clusters", "mention_id")
-      state.edges.foreach(e => write(e, "edges", "src"))
+      def spec(df: org.apache.spark.sql.DataFrame, n: String, key: String) =
+        (df, s"cb_ser_${n}_$epochTag", s"$base/ser_$epochTag/$n",
+         Seq(key), buckets)
+      sources.TableIO.writeBucketedAll(Seq(
+        spec(state.mentions, "mentions", "mention_id"),
+        spec(state.keyed, "keyed", "block_key"),
+        spec(state.reps, "reps", "rep_id"),
+        spec(state.clusters, "clusters", "mention_id")) ++
+        state.edges.map(e => spec(e, "edges", "src")).toSeq,
+        threads = 1)
       (System.nanoTime() - t0) / 1e9
     }
     def timeParallel(i: Int): Double = {

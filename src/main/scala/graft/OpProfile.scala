@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 /** Dev decomposition profile for the heavy flagship-family queries:
   * times each stage of the q36 joined flagship (and q13's cluster tail)
   * in isolation so optimization effort lands where the seconds are.
-  * `sbt "runMain graft.OpProfile [q36|q13|q55|q48]"`; reads
+  * `sbt "runMain graft.OpProfile [q36|q13]"`; reads
   * SPARK_GRAFT_SF_DIR / _CPUS like Bench. Not part of any contract. */
 object OpProfile {
   def main(args: Array[String]): Unit = {

@@ -434,36 +434,28 @@ object Pipeline {
         .filter(_.startsWith("epoch_"))
         .flatMap(n => scala.util.Try(n.stripPrefix("epoch_").toInt).toOption)
     val epoch = (prior :+ 0).max + 1
-    def write(df: DataFrame, n: String, key: String) =
-      sources.TableIO.writeBucketed(df, s"graft_${label}_${n}_e${epoch}_$app",
-                                    s"$root/epoch_$epoch/$n", Seq(key), buckets)
     // The five rewrites are INDEPENDENT jobs over already-materialized
     // frames (bootstrap/apply localCheckpoint their outputs) writing to
-    // disjoint paths/table names — run them from a small thread pool so
-    // each job's straggler tail back-fills with the next job's tasks
+    // disjoint paths/table names — overlapped via TableIO.writeBucketedAll
     // (guide §2.6) instead of serializing five write barriers.
     // GRAFT_COMPACT_PARALLEL=0 collapses to serial writes — a
-    // measurement knob so one binary can A/B the overlap on identical
-    // state (same pattern as GRAFT_RETRACT_DELTA)
+    // measurement/ops knob so one binary can A/B the overlap on
+    // identical state (same pattern as GRAFT_RETRACT_DELTA).
     val threads =
       if (sys.env.get("GRAFT_COMPACT_PARALLEL").contains("0")) 1 else 3
-    import scala.concurrent.{Await, Future, ExecutionContext}
-    import scala.concurrent.duration.Duration
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
-    implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
-    try {
-      val fMentions = Future(write(state.mentions, "mentions", "mention_id"))
-      val fKeyed = Future(write(state.keyed, "keyed", "block_key"))
-      val fReps = Future(write(state.reps, "reps", "rep_id"))
-      val fClusters = Future(write(state.clusters, "clusters", "mention_id"))
-      val fEdges = state.edges.map(e => Future(write(e, "edges", "src")))
-      IncrementState(
-        mentions = Await.result(fMentions, Duration.Inf),
-        keyed = Await.result(fKeyed, Duration.Inf),
-        reps = Await.result(fReps, Duration.Inf),
-        clusters = Await.result(fClusters, Duration.Inf),
-        edges = fEdges.map(Await.result(_, Duration.Inf)))
-    } finally pool.shutdown()
+    def spec(df: DataFrame, n: String, key: String) =
+      (df, s"graft_${label}_${n}_e${epoch}_$app",
+       s"$root/epoch_$epoch/$n", Seq(key), buckets)
+    val specs = Seq(
+      spec(state.mentions, "mentions", "mention_id"),
+      spec(state.keyed, "keyed", "block_key"),
+      spec(state.reps, "reps", "rep_id"),
+      spec(state.clusters, "clusters", "mention_id")) ++
+      state.edges.map(e => spec(e, "edges", "src")).toSeq
+    val written = sources.TableIO.writeBucketedAll(specs, threads)
+    IncrementState(
+      mentions = written(0), keyed = written(1), reps = written(2),
+      clusters = written(3), edges = state.edges.map(_ => written(4)))
   }
 
   /** Append-only INCREMENTAL maintenance of a clustered corpus — the

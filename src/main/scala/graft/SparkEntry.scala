@@ -562,18 +562,11 @@ object SparkEntry {
       // the two bucketed writes are independent jobs on disjoint
       // paths/table names — overlap them (guide §2.6) instead of paying
       // two serial write barriers
-      import scala.concurrent.{Await, Future, ExecutionContext}
-      import scala.concurrent.duration.Duration
-      val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
-      implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
-      val (tf, td) =
-        try {
-          val fF = Future(sources.TableIO.writeBucketed(
-            facts, s"graft_q43_facts_$appTag", s"$base/facts", Seq("user_id"), 8))
-          val fD = Future(sources.TableIO.writeBucketed(
-            dim, s"graft_q43_dim_$appTag", s"$base/dim", Seq("user_id"), 8))
-          (Await.result(fF, Duration.Inf), Await.result(fD, Duration.Inf))
-        } finally pool.shutdown()
+      val written = sources.TableIO.writeBucketedAll(Seq(
+        (facts, s"graft_q43_facts_$appTag", s"$base/facts", Seq("user_id"), 8),
+        (dim, s"graft_q43_dim_$appTag", s"$base/dim", Seq("user_id"), 8)),
+        threads = 2)
+      val (tf, td) = (written(0), written(1))
       tf.join(td, Seq("user_id"))
         .select(col("event_id"), col("user_id"), col("n_purchase"), col("purchase_value"))
         .orderBy("event_id")

@@ -305,7 +305,17 @@ object Coref {
       // minus the O(M log M)-per-turn cost the round-5 shape paid.
       if (mi != miStart) {
         seenRev = newBlock.sortBy { case (m, _) => (-m.begin, m.norm) } ::: seenRev
-        if (maxSeen != Int.MaxValue) seenRev = seenRev.take(maxSeen)
+        if (maxSeen != Int.MaxValue) {
+          seenRev = seenRev.take(maxSeen)
+          // with a finite window the truncation can evict the longest
+          // surface — recompute the kept-window max (O(maxSeen), only on
+          // turns that added sources) so maxN matches the round-5
+          // post-truncation scan exactly (streaming-parity: the
+          // StreamingLink kernel derives maxN from ITS capped window)
+          seenMaxLen =
+            if (seenRev.isEmpty) 0
+            else seenRev.iterator.map(_._2.length).max
+        }
       }
     }
     out.toList

@@ -51,8 +51,11 @@ object Curation {
     // fan the corpus out to the core count once, up front: every stage
     // below is a per-row kernel (md5, gram explode, 4-regex redaction
     // chain, tokenize) that a single-row-group source would run on one
-    // core (Fanout Scaladoc; no-op at production scan sizes)
-    val corpus = Fanout(corpus0)
+    // core. Projected to the three columns the chain reads FIRST (the
+    // Fanout contract: slim projections only — an exchange below the
+    // projection would ship every corpus column and block pushdown).
+    val corpus = Fanout(
+      corpus0.select(col(idCol), col(clsCol), col(textCol)))
     val reps = Dedup.exact(corpus, idCol, textCol)
       .where(col("id") === col("rep_id"))
       .select(col("id").as(idCol))

@@ -233,8 +233,20 @@ object Dedup {
     // scan, paid once per plan.
     val n = math.max(1L, df.select(col(idCol)).count())
     val effFrac = math.min(sampleFrac, targetSampleRows.toDouble / n)
+    // The md5-cell GRID must resolve the effective fraction: the 2-hex
+    // hashSample grid quantizes fractions below 1/512 to ZERO cells —
+    // at 10⁹ docs the capped fraction is ~1e-4 and the sample would be
+    // silently empty (the hashSampleAt Scaladoc's own hazard). Use
+    // enough hex chars that effFrac maps to ≥ ~128 cells (≤1%
+    // quantization error); when the cap is not binding this stays at 2
+    // hex chars, where hashSampleAt is bit-identical to the round-5
+    // hashSample predicate the q72 oracle replays.
+    val hexChars =
+      if (effFrac >= sampleFrac) 2
+      else math.min(12, math.max(2,
+        math.ceil(math.log(128.0 / math.max(effFrac, 1e-12)) / math.log(16.0)).toInt))
     val sampled = df
-      .where(Sampling.hashSample(col(idCol), effFrac, seed))
+      .where(Sampling.hashSampleAt(col(idCol), effFrac, hexChars, seed))
       .select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
       .as[(Long, String)]
       .map { case (id, text) => (id, shingles(text, shingleN).toArray) }

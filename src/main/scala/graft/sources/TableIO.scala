@@ -134,6 +134,30 @@ object TableIO {
     spark.table(name)
   }
 
+  /** [[writeBucketed]] for several INDEPENDENT tables, overlapped on a
+    * small thread pool (guide §2.6 "overlap independent jobs"): each
+    * write is its own Spark job over a disjoint path + catalog name, so
+    * one write's straggler tail back-fills with the next write's tasks
+    * instead of paying serial write barriers. Callers must pass frames
+    * that are already materialized (checkpointed/staged) or whose
+    * lineages are independent — overlapping writes that share an
+    * unmaterialized lineage would recompute it per thread. `threads = 1`
+    * degrades to the serial shape (the A/B arm CompactBench times).
+    * Specs: (df, tableName, path, bucketKeys, buckets); returns the
+    * catalog-backed frames in spec order. */
+  def writeBucketedAll(specs: Seq[(DataFrame, String, String, Seq[String], Int)],
+                       threads: Int = 3): Seq[DataFrame] = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(math.max(1, threads))
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
+    try {
+      specs.map { case (df, name, path, key, buckets) =>
+        Future(writeBucketed(df, name, path, key, buckets))
+      }.map(Await.result(_, Duration.Inf))
+    } finally pool.shutdown()
+  }
+
   /** Partition-level compute-or-resume: the stage output is hive-
     * partitioned by `partCol` (a bounded-cardinality lineage column, e.g.
     * a date or an input-shard id), written in BATCHES of partition values

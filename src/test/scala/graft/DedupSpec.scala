@@ -154,6 +154,17 @@ class DedupSpec extends SparkSpec {
     val maxRows = (nDocs / 4) * 3 / 2 + 2 // md5-cell binomial + grid slack
     assert(capped.head._5 <= maxRows * (maxRows - 1) / 2,
       s"capped sample pairs ${capped.head._5} exceed the row-cap bound")
+    // binding cap below the 2-hex grid's resolution (frac < 1/512 would
+    // quantize to ZERO cells on the old hashSample grid → silently empty
+    // sample): the adaptive hexChars must still yield a usable sample
+    val big = spark.range(10000)
+      .selectExpr("id AS doc_id",
+        "concat('alpha beta gamma delta ', id, ' epsilon zeta eta theta') AS text")
+    val tiny = Dedup.bandingPlan(big, "doc_id", "text",
+        threshold = 0.6, sampleFrac = 1.0, targetSampleRows = 30)
+      .as[(Int, Int, Double, Double, Long)].collect()
+    assert(tiny.head._5 > 0,
+      "a binding cap below 1/512 of the corpus must not produce an empty sample")
   }
 
   test("minhashPairsDelta never pairs base against base") {
